@@ -17,9 +17,31 @@ Hessian assembly — no dynamic dispatch or Python in the iteration loop.
 
 from . import config as _config  # noqa: F401  (enables x64 unless opted out)
 
-from . import manifolds
+from . import core, factors, linalg, manifolds, optim
+from .core import (
+    CauchyLoss,
+    HuberLoss,
+    L1Loss,
+    L2Loss,
+    Loss,
+)
+from .core.problem import CompiledProblem, Problem
+from .factors import BetweenFactor, ManifoldPriorFactor, PriorFactor
 from .manifolds import SE2, SE3, SO2, SO3, Rn
+from .optim import (
+    LevenbergMarquardt,
+    LevenbergMarquardtConfig,
+    SolverResult,
+    Status,
+)
 
 __version__ = "0.1.0"
 
-__all__ = ["manifolds", "SE2", "SE3", "SO2", "SO3", "Rn"]
+__all__ = [
+    "manifolds", "core", "factors", "linalg", "optim",
+    "SE2", "SE3", "SO2", "SO3", "Rn",
+    "Problem", "CompiledProblem",
+    "BetweenFactor", "PriorFactor", "ManifoldPriorFactor",
+    "Loss", "L2Loss", "L1Loss", "HuberLoss", "CauchyLoss",
+    "LevenbergMarquardt", "LevenbergMarquardtConfig", "SolverResult", "Status",
+]

@@ -1,0 +1,464 @@
+"""Problem IR: structure-of-arrays factor graph for TPU.
+
+The reference Problem (src/core/problem.rs) is a HashMap of named
+``VariableEnum`` plus a list of boxed ``ResidualBlock``s evaluated via rayon.
+TPU-first redesign (SURVEY.md §7 "Design stance"):
+
+- **variable pools**: one array per manifold type (``poses: f64[N, 7]``...),
+  with per-DOF free masks (fixed variables/indices, problem.rs:609-643) and
+  storage-space bounds.
+- **factor groups**: residual blocks grouped by (factor signature, loss
+  kind); each group carries stacked measurement data, stacked loss
+  parameters, and int32 index/column arrays — linearization is one fused
+  batched kernel per group, the corrector applied in-kernel, and assembly is
+  scatter-add (no mutex, no sparse symbolic analysis).
+
+String names survive only at the Python API boundary.
+
+``Problem`` is the mutable builder; ``CompiledProblem`` is the frozen,
+jit-friendly compiled form. The dynamic state threaded through optimizers is
+just a tuple of pool value arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..factors.base import Factor
+from ..manifolds import get as get_manifold
+from .corrector import correct
+from .losses import Loss
+
+
+@dataclasses.dataclass
+class VarPool:
+    manifold: object
+    names: List[str]
+    values0: jnp.ndarray  # [N, S]
+    free_mask: jnp.ndarray  # [N, dof], 1.0 = free, 0.0 = fixed
+    lower: jnp.ndarray  # [N, S]
+    upper: jnp.ndarray  # [N, S]
+    cols: jnp.ndarray  # [N] int32 global tangent column offsets
+
+
+@dataclasses.dataclass
+class FactorGroup:
+    factor_cls: type
+    manifolds: Tuple
+    data: Dict[str, jnp.ndarray]  # each [K, ...]
+    loss_kind: str
+    loss_params: jnp.ndarray  # [K, P]
+    pool_ids: Tuple[int, ...]  # per slot
+    indices: Tuple[jnp.ndarray, ...]  # per slot, [K] int32 rows into pool
+    cols: Tuple[jnp.ndarray, ...]  # per slot, [K] int32 global col offsets
+    # Per slot: None if every bound variable is fully free, else [K, dof]
+    # free masks. Unlike the reference (which only zeroes fixed DOF of the
+    # *step*, problem.rs:185-289), we also zero the corresponding Jacobian
+    # columns so gradient/predicted-reduction are consistent with the
+    # actually-applied step. Identical results when nothing is fixed.
+    free_masks: Tuple[Optional[jnp.ndarray], ...] = ()
+    residual_dim: int = 0
+    row_offset: int = 0
+    count: int = 0
+
+
+class Problem:
+    """Mutable factor-graph builder (mirrors reference Problem API)."""
+
+    def __init__(self):
+        self._manifold_of: Dict[str, str] = {}
+        self._values: Dict[str, np.ndarray] = {}
+        self._blocks: List[Tuple[Tuple[str, ...], Factor, Optional[Loss]]] = []
+        self._fixed: Dict[str, Optional[List[int]]] = {}
+        self._bounds: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    # -- construction ------------------------------------------------------
+
+    def add_variable(self, name: str, manifold, value=None):
+        mname = manifold if isinstance(manifold, str) else manifold.name
+        G = get_manifold(mname)
+        if name in self._manifold_of and self._manifold_of[name] != mname:
+            raise ValueError(
+                f"variable {name!r} redeclared with manifold {mname}, was "
+                f"{self._manifold_of[name]}"
+            )
+        self._manifold_of[name] = mname
+        if value is not None:
+            value = np.asarray(value, dtype=np.float64)
+            if value.shape != (G.storage_dim,):
+                raise ValueError(
+                    f"variable {name!r} ({mname}) expects shape "
+                    f"({G.storage_dim},), got {value.shape}"
+                )
+            self._values[name] = value
+        return name
+
+    def add_residual_block(self, keys: Sequence[str], factor: Factor,
+                           loss: Optional[Loss] = None) -> int:
+        keys = tuple(keys)
+        manifolds = factor.var_manifolds()
+        if len(keys) != len(manifolds):
+            raise ValueError(
+                f"{type(factor).__name__} binds {len(manifolds)} variables, "
+                f"got {len(keys)} keys"
+            )
+        for k, m in zip(keys, manifolds):
+            self.add_variable(k, m)
+        self._blocks.append((keys, factor, loss))
+        return len(self._blocks) - 1
+
+    def remove_residual_block(self, block_id: int):
+        self._blocks[block_id] = None
+
+    def fix_variable(self, name: str, indices: Optional[Sequence[int]] = None):
+        if name not in self._manifold_of:
+            raise KeyError(f"unknown variable {name!r}")
+        if indices is None:
+            self._fixed[name] = None  # all DOF
+        else:
+            prev = self._fixed.get(name, [])
+            if prev is None:
+                return
+            self._fixed[name] = sorted(set(list(prev) + list(indices)))
+
+    def set_variable_bounds(self, name: str, lower, upper):
+        if name not in self._manifold_of:
+            raise KeyError(f"unknown variable {name!r}")
+        self._bounds[name] = (
+            np.asarray(lower, dtype=np.float64),
+            np.asarray(upper, dtype=np.float64),
+        )
+
+    @property
+    def num_residual_blocks(self) -> int:
+        return sum(1 for b in self._blocks if b is not None)
+
+    @property
+    def variable_names(self) -> List[str]:
+        return sorted(self._manifold_of)
+
+    # -- compilation -------------------------------------------------------
+
+    def compile(self, initial_values: Optional[Dict[str, np.ndarray]] = None,
+                dtype=None) -> "CompiledProblem":
+        if dtype is None:
+            from ..config import default_dtype
+
+            dtype = default_dtype()
+        values = dict(self._values)
+        if initial_values:
+            for k, v in initial_values.items():
+                if k not in self._manifold_of:
+                    raise KeyError(f"initial value for unknown variable {k!r}")
+                values[k] = np.asarray(v, dtype=np.float64)
+        missing = [n for n in self._manifold_of if n not in values]
+        if missing:
+            raise ValueError(f"no initial value for variables: {missing[:5]}...")
+
+        # Sorted-name global tangent column layout (reference
+        # optimizer/mod.rs:530-538 sorts variable names).
+        names_sorted = sorted(self._manifold_of)
+        col_of: Dict[str, int] = {}
+        off = 0
+        for n in names_sorted:
+            col_of[n] = off
+            off += get_manifold(self._manifold_of[n]).dof
+        total_dof = off
+
+        # Pools per manifold name, rows in sorted-name order.
+        pool_id_of_manifold: Dict[str, int] = {}
+        pool_names: List[List[str]] = []
+        for n in names_sorted:
+            m = self._manifold_of[n]
+            if m not in pool_id_of_manifold:
+                pool_id_of_manifold[m] = len(pool_names)
+                pool_names.append([])
+            pool_names[pool_id_of_manifold[m]].append(n)
+
+        var_loc: Dict[str, Tuple[int, int]] = {}
+        pools: List[VarPool] = []
+        for m, pid in sorted(pool_id_of_manifold.items(), key=lambda kv: kv[1]):
+            G = get_manifold(m)
+            names = pool_names[pid]
+            vals = np.stack([values[n] for n in names]).astype(dtype)
+            free = np.ones((len(names), G.dof))
+            lb = np.full((len(names), G.storage_dim), -np.inf)
+            ub = np.full((len(names), G.storage_dim), np.inf)
+            cols = np.array([col_of[n] for n in names], dtype=np.int32)
+            for i, n in enumerate(names):
+                var_loc[n] = (pid, i)
+                if n in self._fixed:
+                    idx = self._fixed[n]
+                    if idx is None:
+                        free[i, :] = 0.0
+                    else:
+                        for j in idx:
+                            if j < G.dof:
+                                free[i, j] = 0.0
+                if n in self._bounds:
+                    blo, bhi = self._bounds[n]
+                    lb[i, : len(blo)] = blo
+                    ub[i, : len(bhi)] = bhi
+            pools.append(
+                VarPool(
+                    manifold=G,
+                    names=names,
+                    values0=jnp.asarray(vals, dtype=dtype),
+                    free_mask=jnp.asarray(free, dtype=dtype),
+                    lower=jnp.asarray(lb, dtype=dtype),
+                    upper=jnp.asarray(ub, dtype=dtype),
+                    cols=jnp.asarray(cols),
+                )
+            )
+
+        # Group residual blocks by (factor signature, loss kind).
+        grouped: Dict[tuple, List[Tuple[Tuple[str, ...], Factor, Optional[Loss]]]] = {}
+        order: List[tuple] = []
+        for blk in self._blocks:
+            if blk is None:
+                continue
+            keys, factor, loss = blk
+            lkind = loss.kind if loss is not None else "l2"
+            sig = (factor.signature(), lkind)
+            if sig not in grouped:
+                grouped[sig] = []
+                order.append(sig)
+            grouped[sig].append(blk)
+
+        groups: List[FactorGroup] = []
+        row_offset = 0
+        for sig in order:
+            blocks = grouped[sig]
+            keys0, f0, loss0 = blocks[0]
+            manifolds = tuple(get_manifold(m) for m in f0.var_manifolds())
+            d = f0.residual_dim()
+            count = len(blocks)
+            lkind = sig[1]
+            nparams = loss0.num_params if loss0 is not None else 0
+
+            data_keys = sorted(f0.data().keys())
+            data = {
+                k: jnp.asarray(
+                    np.stack([np.asarray(b[1].data()[k]) for b in blocks]), dtype=dtype
+                )
+                for k in data_keys
+            }
+            loss_params = jnp.asarray(
+                np.stack(
+                    [np.asarray(b[2].params if b[2] is not None else (), dtype=np.float64)
+                     for b in blocks]
+                ).reshape(count, nparams),
+                dtype=dtype,
+            )
+            idx_arrays, col_arrays, pool_ids, mask_arrays = [], [], [], []
+            for s in range(len(manifolds)):
+                rows = np.array([var_loc[b[0][s]][1] for b in blocks], dtype=np.int32)
+                pids = {var_loc[b[0][s]][0] for b in blocks}
+                if len(pids) != 1:
+                    raise AssertionError("slot spans multiple pools")
+                cols_s = np.array([col_of[b[0][s]] for b in blocks], dtype=np.int32)
+                pid = pids.pop()
+                pool_ids.append(pid)
+                idx_arrays.append(jnp.asarray(rows))
+                col_arrays.append(jnp.asarray(cols_s))
+                pool_free = np.asarray(pools[pid].free_mask)
+                slot_free = pool_free[rows]
+                mask_arrays.append(
+                    None if np.all(slot_free == 1.0) else jnp.asarray(slot_free, dtype=dtype)
+                )
+
+            groups.append(
+                FactorGroup(
+                    factor_cls=type(f0),
+                    manifolds=manifolds,
+                    data=data,
+                    loss_kind=lkind,
+                    loss_params=loss_params,
+                    pool_ids=tuple(pool_ids),
+                    indices=tuple(idx_arrays),
+                    cols=tuple(col_arrays),
+                    free_masks=tuple(mask_arrays),
+                    residual_dim=d,
+                    row_offset=row_offset,
+                    count=count,
+                )
+            )
+            row_offset += d * count
+
+        return CompiledProblem(
+            pools=pools,
+            groups=groups,
+            var_loc=var_loc,
+            total_dof=total_dof,
+            total_residual_dim=row_offset,
+            dtype=dtype,
+        )
+
+
+class CompiledProblem:
+    """Frozen, jit-friendly factor graph. All methods are pure in ``values``
+    (a tuple of pool arrays) and safe to call under jit/vmap/shard_map."""
+
+    def __init__(self, pools, groups, var_loc, total_dof, total_residual_dim, dtype):
+        self.pools: List[VarPool] = pools
+        self.groups: List[FactorGroup] = groups
+        self.var_loc: Dict[str, Tuple[int, int]] = var_loc
+        self.total_dof = total_dof
+        self.total_residual_dim = total_residual_dim
+        self.dtype = dtype
+
+    # -- state helpers -----------------------------------------------------
+
+    def initial_values(self) -> Tuple[jnp.ndarray, ...]:
+        return tuple(p.values0 for p in self.pools)
+
+    def values_dict(self, values) -> Dict[str, np.ndarray]:
+        out = {}
+        for p, arr in zip(self.pools, values):
+            arr = np.asarray(arr)
+            for i, n in enumerate(p.names):
+                out[n] = arr[i]
+        return out
+
+    def get_value(self, values, name: str) -> jnp.ndarray:
+        pid, row = self.var_loc[name]
+        return values[pid][row]
+
+    # -- linearization -----------------------------------------------------
+
+    def _gather(self, values, group: FactorGroup):
+        return [values[pid][idx] for pid, idx in zip(group.pool_ids, group.indices)]
+
+    def group_linearize(self, values, group: FactorGroup, compute_jacobian: bool):
+        """Fused kernel: gather -> factor residual(+J) -> corrector."""
+        params = self._gather(values, group)
+        r, jacs = group.factor_cls.linearize(
+            group.manifolds, group.data, params, compute_jacobian
+        )
+        if compute_jacobian and any(m is not None for m in group.free_masks):
+            jacs = [
+                j if m is None else j * m[:, None, :]
+                for j, m in zip(jacs, group.free_masks)
+            ]
+        if group.loss_kind == "l2":
+            return r, jacs
+        if compute_jacobian:
+            J = jnp.concatenate(jacs, axis=-1)  # [K, d, sum dof]
+            r_t, J_t = correct(group.loss_kind, group.loss_params, r, J)
+            splits = np.cumsum([G.dof for G in group.manifolds])[:-1]
+            return r_t, [j for j in jnp.split(J_t, splits, axis=-1)]
+        r_t, _ = correct(group.loss_kind, group.loss_params, r, None)
+        return r_t, None
+
+    def residual_vector(self, values) -> jnp.ndarray:
+        """Stacked (corrected) residual vector, group-major layout. Mirrors
+        compute_residual_sparse (problem.rs:864-899) incl. loss application
+        (problem.rs:1003-1007)."""
+        parts = []
+        for g in self.groups:
+            r, _ = self.group_linearize(values, g, False)
+            parts.append(r.reshape(-1))
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype=self.dtype)
+
+    def cost(self, values) -> jnp.ndarray:
+        """cost = 0.5 * ||r||^2 (reference optimizer/mod.rs:358-361)."""
+        total = jnp.zeros((), dtype=self.dtype)
+        for g in self.groups:
+            r, _ = self.group_linearize(values, g, False)
+            total = total + 0.5 * jnp.sum(r * r)
+        return total
+
+    def scatter_normal(self, H, gvec, cost, group: FactorGroup, r, jacs):
+        """Accumulate one linearized group into (H, g, cost) via dense
+        scatter-add of the small per-factor blocks."""
+        cost = cost + 0.5 * jnp.sum(r * r)
+        nslots = len(group.manifolds)
+        for s in range(nslots):
+            Js = jacs[s]
+            dof_s = group.manifolds[s].dof
+            cs = group.cols[s]
+            gs = jnp.einsum("kdi,kd->ki", Js, r)
+            gcols = cs[:, None] + jnp.arange(dof_s, dtype=cs.dtype)[None, :]
+            gvec = gvec.at[gcols].add(gs)
+            for t in range(nslots):
+                Jt = jacs[t]
+                dof_t = group.manifolds[t].dof
+                ct = group.cols[t]
+                Hst = jnp.einsum("kdi,kdj->kij", Js, Jt)
+                rows = (cs[:, None] + jnp.arange(dof_s, dtype=cs.dtype)[None, :])[
+                    :, :, None
+                ]
+                colsj = (ct[:, None] + jnp.arange(dof_t, dtype=ct.dtype)[None, :])[
+                    :, None, :
+                ]
+                rows = jnp.broadcast_to(rows, Hst.shape)
+                colsj = jnp.broadcast_to(colsj, Hst.shape)
+                H = H.at[rows, colsj].add(Hst)
+        return H, gvec, cost
+
+    def assemble_normal(self, values):
+        """Build the Gauss-Newton normal equations directly:
+        H = J^T J (dense [D, D]), g = J^T r, plus cost — without
+        materializing the global J (SURVEY.md §7: build Hessian blocks via
+        scatter-add)."""
+        D = self.total_dof
+        H = jnp.zeros((D, D), dtype=self.dtype)
+        gvec = jnp.zeros((D,), dtype=self.dtype)
+        cost = jnp.zeros((), dtype=self.dtype)
+        for g in self.groups:
+            r, jacs = self.group_linearize(values, g, True)
+            H, gvec, cost = self.scatter_normal(H, gvec, cost, g, r, jacs)
+        return H, gvec, cost
+
+    def assemble_dense_jacobian(self, values):
+        """Materialize the stacked dense (r, J) — the reference's dense
+        assembly path (src/linearizer/cpu/dense.rs), for QR-type solvers on
+        small problems."""
+        R, D = self.total_residual_dim, self.total_dof
+        Jd = jnp.zeros((R, D), dtype=self.dtype)
+        rv = jnp.zeros((R,), dtype=self.dtype)
+        for g in self.groups:
+            r, jacs = self.group_linearize(values, g, True)
+            d = g.residual_dim
+            k = g.count
+            rowbase = g.row_offset + jnp.arange(k, dtype=jnp.int32) * d
+            rows = rowbase[:, None] + jnp.arange(d, dtype=jnp.int32)[None, :]
+            rv = rv.at[rows.reshape(-1)].set(r.reshape(-1))
+            for s, Js in enumerate(jacs):
+                dof_s = g.manifolds[s].dof
+                cs = g.cols[s]
+                ccols = (cs[:, None] + jnp.arange(dof_s, dtype=cs.dtype)[None, :])[
+                    :, None, :
+                ]
+                rrows = rows[:, :, None]
+                rrows = jnp.broadcast_to(rrows, Js.shape)
+                ccols = jnp.broadcast_to(ccols, Js.shape)
+                Jd = Jd.at[rrows, ccols].add(Js)
+        return rv, Jd
+
+    # -- state update ------------------------------------------------------
+
+    def apply_step(self, values, dx):
+        """Manifold ⊞ per variable with fixed-DOF masking (reference
+        problem.rs:185-289 zeroes fixed DOF of the step) and bounds clamp."""
+        new_values = []
+        for p, arr in zip(self.pools, values):
+            G = p.manifold
+            steps = dx[p.cols[:, None] + jnp.arange(G.dof, dtype=p.cols.dtype)[None, :]]
+            steps = steps * p.free_mask
+            new = G.normalize(G.plus(arr, steps))
+            new = jnp.clip(new, p.lower, p.upper)
+            new_values.append(new)
+        return tuple(new_values)
+
+    def parameter_norm(self, values) -> jnp.ndarray:
+        """sqrt(sum of squared storage vectors) — reference
+        optimizer/mod.rs:458-468."""
+        total = jnp.zeros((), dtype=self.dtype)
+        for arr in values:
+            total = total + jnp.sum(arr * arr)
+        return jnp.sqrt(total)

@@ -1,0 +1,382 @@
+"""Levenberg-Marquardt with Nielsen damping.
+
+Semantics match the reference (src/optimizer/levenberg_marquardt.rs):
+- damping update (lm.rs:702-717): accepted -> lambda *= max(1/3, 1-(2rho-1)^3),
+  nu = 2; rejected -> lambda *= nu, nu *= 2 (clamped to [damping_min, damping_max])
+- predicted reduction 0.5 * step^T (lambda*step - g) (lm.rs:721-727)
+- accept iff rho > 0, exact rollback on rejection (lm.rs:770-817)
+- Ceres-compatible defaults (lm.rs:319-359)
+- convergence per optimizer/mod.rs:591-658 after each iteration
+
+Two execution modes sharing one step kernel:
+- ``python``: host loop around a jitted iteration — supports observers,
+  timeout, per-iteration stats (like the reference's tracing table).
+- ``jit``: the whole solve is one ``lax.while_loop`` — no host syncs,
+  maximum TPU throughput; stats carried in loop state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.problem import CompiledProblem, Problem
+from ..linalg import dense as dense_linalg
+from .common import (
+    ConvergenceConfig,
+    IterationStats,
+    SolverResult,
+    Status,
+    check_convergence,
+    compute_step_quality,
+)
+
+
+@dataclasses.dataclass
+class LevenbergMarquardtConfig:
+    """Ceres-compatible defaults (reference lm.rs:319-359)."""
+
+    linear_solver_type: str = "dense_cholesky"  # dense_cholesky | dense_qr |
+    # schur_explicit | schur_implicit (BA solvers, see linalg/schur.py)
+    max_iterations: int = 50
+    cost_tolerance: float = 1e-6
+    parameter_tolerance: float = 1e-8
+    gradient_tolerance: float = 1e-10
+    timeout: Optional[float] = None
+    damping: float = 1e-3
+    damping_min: float = 1e-12
+    damping_max: float = 1e12
+    trust_region_radius: float = 1e4
+    min_trust_region_radius: float = 1e-32
+    min_cost_threshold: Optional[float] = None
+    use_jacobi_scaling: bool = False
+    compute_covariances: bool = False
+    mode: str = "python"  # "python" | "jit"
+    collect_stats: bool = False
+    verbose: bool = False
+    # Schur options (used when linear_solver_type is schur_*)
+    schur_preconditioner: str = "schur_jacobi"  # none | block_diagonal | schur_jacobi
+    pcg_max_iterations: int = 200
+    pcg_tolerance: float = 1e-6
+
+    @classmethod
+    def for_bundle_adjustment(cls) -> "LevenbergMarquardtConfig":
+        """Preset mirroring reference lm.rs:519-530 (implicit Schur +
+        Schur-Jacobi, 20 iterations)."""
+        return cls(
+            linear_solver_type="schur_implicit",
+            schur_preconditioner="schur_jacobi",
+            max_iterations=20,
+        )
+
+    def convergence(self) -> ConvergenceConfig:
+        return ConvergenceConfig(
+            max_iterations=self.max_iterations,
+            cost_tolerance=self.cost_tolerance,
+            parameter_tolerance=self.parameter_tolerance,
+            gradient_tolerance=self.gradient_tolerance,
+            timeout=self.timeout,
+            min_cost_threshold=self.min_cost_threshold,
+            min_trust_region_radius=self.min_trust_region_radius,
+        )
+
+
+def _tree_where(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+class LevenbergMarquardt:
+    def __init__(self, config: Optional[LevenbergMarquardtConfig] = None):
+        self.config = config or LevenbergMarquardtConfig()
+        self.observers = []
+
+    def add_observer(self, observer):
+        self.observers.append(observer)
+
+    # ------------------------------------------------------------------
+    def _make_step_fn(self, cp: CompiledProblem):
+        cfg = self.config
+        solver_type = cfg.linear_solver_type
+        if solver_type in ("schur_explicit", "schur_implicit"):
+            from ..linalg.schur import make_schur_step
+
+            return make_schur_step(cp, cfg)
+
+        use_qr = solver_type == "dense_qr"
+        ccfg = cfg.convergence()
+
+        def step(values, damping, nu, current_cost, iteration, jacobi_scale):
+            if use_qr:
+                r, J = cp.assemble_dense_jacobian(values)
+                if cfg.use_jacobi_scaling:
+                    scale = jnp.where(
+                        iteration == 0,
+                        1.0 / (1.0 + jnp.linalg.norm(J, axis=0)),
+                        jacobi_scale,
+                    )
+                    J = J * scale[None, :]
+                else:
+                    scale = jacobi_scale
+                g = J.T @ r
+                dx_scaled = dense_linalg.solve_qr(r, J, damping)
+            else:
+                H, g, current_cost = cp.assemble_normal(values)
+                if cfg.use_jacobi_scaling:
+                    scale = jnp.where(
+                        iteration == 0,
+                        1.0 / (1.0 + jnp.sqrt(jnp.diag(H))),
+                        jacobi_scale,
+                    )
+                    H = H * scale[None, :] * scale[:, None]
+                    g = g * scale
+                else:
+                    scale = jacobi_scale
+                dx_scaled = dense_linalg.solve_cholesky_with_retry(H, g, damping)
+
+            gradient_norm = jnp.linalg.norm(g)
+            dx = dx_scaled * scale if cfg.use_jacobi_scaling else dx_scaled
+            step_norm = jnp.linalg.norm(dx)
+
+            # predicted = 0.5 * step^T (lambda*step - g)  (lm.rs:721-727)
+            predicted = 0.5 * jnp.dot(dx, damping * dx - g)
+
+            new_values = cp.apply_step(values, dx)
+            new_cost = cp.cost(new_values)
+            rho = compute_step_quality(current_cost, new_cost, predicted)
+            accepted = rho > 0.0
+
+            coff = 2.0 * rho - 1.0
+            damping_acc = jnp.clip(
+                damping * jnp.maximum(1.0 / 3.0, 1.0 - coff**3),
+                cfg.damping_min,
+                cfg.damping_max,
+            )
+            damping_rej = jnp.minimum(damping * nu, cfg.damping_max)
+            new_damping = jnp.where(accepted, damping_acc, damping_rej)
+            new_nu = jnp.where(accepted, 2.0, nu * 2.0)
+
+            out_values = _tree_where(accepted, new_values, values)
+            out_cost = jnp.where(accepted, new_cost, current_cost)
+
+            status = check_convergence(
+                iteration=iteration,
+                current_cost=current_cost,
+                new_cost=out_cost,
+                parameter_norm=cp.parameter_norm(out_values),
+                parameter_update_norm=step_norm,
+                gradient_norm=gradient_norm,
+                step_accepted=accepted,
+                cfg=ccfg,
+                trust_region_radius=cfg.trust_region_radius,
+            )
+            metrics = dict(
+                rho=rho,
+                accepted=accepted,
+                gradient_norm=gradient_norm,
+                step_norm=step_norm,
+                new_cost=new_cost,
+            )
+            return out_values, new_damping, new_nu, out_cost, status, scale, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    def optimize(self, problem, initial_values=None) -> SolverResult:
+        cp = problem if isinstance(problem, CompiledProblem) else problem.compile(initial_values)
+        if not cp.groups or cp.total_dof == 0:
+            # Nothing to optimize: converged trivially at cost 0 / initial.
+            values = cp.initial_values()
+            cost = float(jax.jit(cp.cost)(values)) if cp.groups else 0.0
+            return SolverResult(
+                status=Status.CONVERGED,
+                iterations=0,
+                initial_cost=cost,
+                final_cost=cost,
+                elapsed_seconds=0.0,
+                variables=cp.values_dict(values),
+            )
+        if self.config.mode == "jit" and not self.observers:
+            return self._optimize_jit(cp)
+        return self._optimize_python(cp)
+
+    # ------------------------------------------------------------------
+    def _optimize_python(self, cp: CompiledProblem) -> SolverResult:
+        cfg = self.config
+        start = time.perf_counter()
+        values = cp.initial_values()
+        initial_cost = float(jax.jit(cp.cost)(values))
+
+        step_fn = jax.jit(self._make_step_fn(cp))
+        damping = jnp.asarray(cfg.damping, dtype=cp.dtype)
+        nu = jnp.asarray(2.0, dtype=cp.dtype)
+        cost = jnp.asarray(initial_cost, dtype=cp.dtype)
+        jacobi_scale = jnp.ones((cp.total_dof,), dtype=cp.dtype)
+
+        stats = [] if (cfg.collect_stats or cfg.verbose) else None
+        if cfg.verbose:
+            print(IterationStats.HEADER)
+
+        iteration = 0
+        status = Status.RUNNING
+        n_succ = n_fail = 0
+        grad_norm = step_norm = float("nan")
+        cost_evals, jac_evals = 1, 0
+        prev_cost = initial_cost
+        while True:
+            it_start = time.perf_counter()
+            values, damping, nu, cost, status_arr, jacobi_scale, metrics = step_fn(
+                values, damping, nu, cost, iteration, jacobi_scale
+            )
+            jac_evals += 1
+            cost_evals += 1
+            accepted = bool(metrics["accepted"])
+            grad_norm = float(metrics["gradient_norm"])
+            step_norm = float(metrics["step_norm"])
+            n_succ += accepted
+            n_fail += not accepted
+            cost_f = float(cost)
+            status = Status(int(status_arr))
+
+            if stats is not None:
+                st = IterationStats(
+                    iteration=iteration,
+                    cost=cost_f,
+                    cost_change=prev_cost - cost_f,
+                    gradient_norm=grad_norm,
+                    step_norm=step_norm,
+                    tr_ratio=float(metrics["rho"]),
+                    tr_radius=float(damping),
+                    iter_time_ms=(time.perf_counter() - it_start) * 1e3,
+                    total_time_ms=(time.perf_counter() - start) * 1e3,
+                    accepted=accepted,
+                )
+                stats.append(st)
+                if cfg.verbose:
+                    print(st.line())
+            prev_cost = cost_f
+
+            for obs in self.observers:
+                obs.on_step(
+                    cp.values_dict(values),
+                    iteration,
+                    cost_f,
+                    grad_norm,
+                    float(damping),
+                    step_norm,
+                    float(metrics["rho"]),
+                )
+
+            elapsed = time.perf_counter() - start
+            if status == Status.RUNNING and cfg.timeout is not None and elapsed >= cfg.timeout:
+                status = Status.TIMEOUT
+            if status != Status.RUNNING:
+                iteration += 1
+                break
+            iteration += 1
+
+        covariances = None
+        if cfg.compute_covariances:
+            from ..core.covariance import compute_covariances
+
+            covariances = compute_covariances(cp, values)
+
+        final_vars = cp.values_dict(values)
+        for obs in self.observers:
+            if hasattr(obs, "notify_complete"):
+                obs.notify_complete(final_vars, iteration)
+
+        return SolverResult(
+            status=status,
+            iterations=iteration,
+            initial_cost=initial_cost,
+            final_cost=float(cost),
+            elapsed_seconds=time.perf_counter() - start,
+            variables=final_vars,
+            final_gradient_norm=grad_norm,
+            final_step_norm=step_norm,
+            cost_evaluations=cost_evals,
+            jacobian_evaluations=jac_evals,
+            successful_steps=n_succ,
+            unsuccessful_steps=n_fail,
+            iteration_stats=stats,
+            covariances=covariances,
+        )
+
+    # ------------------------------------------------------------------
+    def _optimize_jit(self, cp: CompiledProblem) -> SolverResult:
+        """Whole solve in one lax.while_loop (no host round-trips)."""
+        cfg = self.config
+        step_fn = self._make_step_fn(cp)
+
+        def body(state):
+            (values, damping, nu, cost, iteration, _, jacobi_scale, stats) = state
+            values, damping, nu, cost, status, jacobi_scale, metrics = step_fn(
+                values, damping, nu, cost, iteration, jacobi_scale
+            )
+            stats = dict(
+                gradient_norm=metrics["gradient_norm"],
+                step_norm=metrics["step_norm"],
+                rho=metrics["rho"],
+                n_success=stats["n_success"] + metrics["accepted"].astype(jnp.int32),
+                n_fail=stats["n_fail"] + (~metrics["accepted"]).astype(jnp.int32),
+            )
+            return (values, damping, nu, cost, iteration + 1, status, jacobi_scale, stats)
+
+        def cond(state):
+            return state[5] == Status.RUNNING
+
+        @jax.jit
+        def run(values):
+            cost0 = cp.cost(values)
+            init = (
+                values,
+                jnp.asarray(cfg.damping, dtype=cp.dtype),
+                jnp.asarray(2.0, dtype=cp.dtype),
+                cost0,
+                jnp.asarray(0, jnp.int32),
+                jnp.asarray(Status.RUNNING, jnp.int32),
+                jnp.ones((cp.total_dof,), dtype=cp.dtype),
+                dict(
+                    gradient_norm=jnp.asarray(jnp.nan, cp.dtype),
+                    step_norm=jnp.asarray(jnp.nan, cp.dtype),
+                    rho=jnp.asarray(jnp.nan, cp.dtype),
+                    n_success=jnp.asarray(0, jnp.int32),
+                    n_fail=jnp.asarray(0, jnp.int32),
+                ),
+            )
+            final = jax.lax.while_loop(cond, body, init)
+            return cost0, final
+
+        start = time.perf_counter()
+        values = cp.initial_values()
+        cost0, final = run(values)
+        (values, damping, nu, cost, iteration, status, _, stats) = final
+        cost_f = float(cost)
+        elapsed = time.perf_counter() - start
+
+        covariances = None
+        if cfg.compute_covariances:
+            from ..core.covariance import compute_covariances
+
+            covariances = compute_covariances(cp, values)
+
+        return SolverResult(
+            status=Status(int(status)),
+            iterations=int(iteration),
+            initial_cost=float(cost0),
+            final_cost=cost_f,
+            elapsed_seconds=elapsed,
+            variables=cp.values_dict(values),
+            final_gradient_norm=float(stats["gradient_norm"]),
+            final_step_norm=float(stats["step_norm"]),
+            cost_evaluations=int(iteration) + 1,
+            jacobian_evaluations=int(iteration),
+            successful_steps=int(stats["n_success"]),
+            unsuccessful_steps=int(stats["n_fail"]),
+            covariances=covariances,
+        )

@@ -1,0 +1,3 @@
+from .sharding import make_sharded_lm_step, make_sharded_normal_fn, pad_groups_for_mesh
+
+__all__ = ["make_sharded_normal_fn", "make_sharded_lm_step", "pad_groups_for_mesh"]

@@ -1,0 +1,164 @@
+"""Multi-chip sharding of factor-graph assembly (SURVEY.md §2.6, §5).
+
+The reference is a single-process rayon library; its parallel sites (per-
+block residual/Jacobian evaluation) map here onto a **device mesh**: factor
+groups are padded and sharded along the factor axis across chips, each chip
+linearizes and scatter-adds its shard into local (H, g, cost) partials, and
+one ``psum`` over ICI reduces them. Variables are replicated (pose-graph
+state is small); the solve happens replicated on every chip.
+
+This is the data-parallel axis; the Schur/BA path additionally shards the
+landmark/observation axis (see linalg/implicit_schur.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.problem import CompiledProblem, FactorGroup
+
+
+@dataclasses.dataclass
+class ShardedGroup:
+    group: FactorGroup  # padded copy
+    weight: jnp.ndarray  # [Kp] 1.0 for real factors, 0.0 for padding
+
+
+def _pad_axis0(arr, target):
+    pad = target - arr.shape[0]
+    if pad == 0:
+        return arr
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, widths)
+
+
+def pad_groups_for_mesh(cp: CompiledProblem, n_devices: int):
+    """Pad every factor group's K to a multiple of n_devices. Padding rows
+    index variable 0 (a valid gather) and are zero-weighted."""
+    out = []
+    for g in cp.groups:
+        Kp = int(-(-g.count // n_devices) * n_devices)
+        padded = FactorGroup(
+            factor_cls=g.factor_cls,
+            manifolds=g.manifolds,
+            data={k: _pad_axis0(v, Kp) for k, v in g.data.items()},
+            loss_kind=g.loss_kind,
+            loss_params=_pad_axis0(g.loss_params, Kp),
+            pool_ids=g.pool_ids,
+            indices=tuple(_pad_axis0(ix, Kp) for ix in g.indices),
+            cols=tuple(_pad_axis0(c, Kp) for c in g.cols),
+            free_masks=tuple(
+                None if m is None else _pad_axis0(m, Kp) for m in g.free_masks
+            ),
+            residual_dim=g.residual_dim,
+            row_offset=g.row_offset,
+            count=Kp,
+        )
+        weight = jnp.concatenate(
+            [jnp.ones((g.count,), cp.dtype), jnp.zeros((Kp - g.count,), cp.dtype)]
+        )
+        out.append(ShardedGroup(padded, weight))
+    return out
+
+
+def _group_shard_leaves(sg: ShardedGroup):
+    """The arrays sharded along the factor axis (everything [K, ...])."""
+    return (
+        sg.group.data,
+        sg.group.loss_params,
+        sg.group.indices,
+        sg.group.cols,
+        tuple(m for m in sg.group.free_masks if m is not None),
+        sg.weight,
+    )
+
+
+def make_sharded_normal_fn(cp: CompiledProblem, mesh: Mesh, axis_name: str = "data"):
+    """Return (fn, sharded_args): fn(values, *sharded_args) -> (H, g, cost)
+    computed with factor shards on each device and one psum over the mesh.
+
+    Shapes are static; call under jit with the mesh installed."""
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis_name]))
+    sharded = pad_groups_for_mesh(cp, n)
+    shard_args = tuple(_group_shard_leaves(sg) for sg in sharded)
+
+    # Template groups with per-device local shapes are rebuilt inside.
+    def local(values, *args):
+        D = cp.total_dof
+        H = jnp.zeros((D, D), dtype=cp.dtype)
+        gvec = jnp.zeros((D,), dtype=cp.dtype)
+        cost = jnp.zeros((), dtype=cp.dtype)
+        for sg, leaf in zip(sharded, args):
+            data, loss_params, indices, cols, masks_present, weight = leaf
+            masks = []
+            mi = 0
+            for m in sg.group.free_masks:
+                if m is None:
+                    masks.append(None)
+                else:
+                    masks.append(masks_present[mi])
+                    mi += 1
+            g_local = dataclasses.replace(
+                sg.group,
+                data=data,
+                loss_params=loss_params,
+                indices=tuple(indices),
+                cols=tuple(cols),
+                free_masks=tuple(masks),
+                count=weight.shape[0],
+            )
+            r, jacs = cp.group_linearize(values, g_local, True)
+            r = r * weight[:, None]
+            jacs = [j * weight[:, None, None] for j in jacs]
+            H, gvec, cost = cp.scatter_normal(H, gvec, cost, g_local, r, jacs)
+        return (
+            jax.lax.psum(H, axis_name),
+            jax.lax.psum(gvec, axis_name),
+            jax.lax.psum(cost, axis_name),
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(),) + tuple(P(axis_name) for _ in shard_args),
+        out_specs=(P(), P(), P()),
+    )
+    return fn, shard_args
+
+
+def make_sharded_lm_step(cp: CompiledProblem, mesh: Mesh, damping_min=1e-12,
+                         damping_max=1e12, axis_name: str = "data"):
+    """One full sharded LM iteration: sharded assembly + replicated dense
+    Cholesky solve + manifold step + Nielsen damping update. Suitable for
+    lax.while_loop; returns fn(values, damping, nu, cost) -> same."""
+    from ..linalg.dense import solve_cholesky_with_retry
+    from ..optim.common import compute_step_quality
+
+    normal_fn, shard_args = make_sharded_normal_fn(cp, mesh, axis_name)
+
+    def step(values, damping, nu, current_cost):
+        H, g, cost = normal_fn(values, *shard_args)
+        dx = solve_cholesky_with_retry(H, g, damping)
+        predicted = 0.5 * jnp.dot(dx, damping * dx - g)
+        new_values = cp.apply_step(values, dx)
+        new_cost = cp.cost(new_values)
+        rho = compute_step_quality(cost, new_cost, predicted)
+        accepted = rho > 0.0
+        coff = 2.0 * rho - 1.0
+        new_damping = jnp.where(
+            accepted,
+            jnp.clip(damping * jnp.maximum(1.0 / 3.0, 1.0 - coff**3), damping_min, damping_max),
+            jnp.minimum(damping * nu, damping_max),
+        )
+        new_nu = jnp.where(accepted, 2.0, nu * 2.0)
+        out_values = jax.tree.map(lambda a, b: jnp.where(accepted, a, b), new_values, values)
+        out_cost = jnp.where(accepted, new_cost, cost)
+        return out_values, new_damping, new_nu, out_cost
+
+    return step

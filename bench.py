@@ -1,0 +1,79 @@
+"""apex-tpu benchmark driver.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline workload: sphere2500-class SE3 pose graph (2500 vertices, ~4950
+edges: odometry spiral + ring-to-ring loop closures) solved with LM to the
+reference's pose-graph settings (max 100 iters, cost_tolerance 1e-4).
+Baseline: the reference solves the real sphere2500 in 176.3 ms on an M4 Mac
+Mini (BASELINE.md). The dataset here is synthetic-but-equivalent (no network
+egress for the real file); scale and sparsity match.
+
+vs_baseline = baseline_ms / measured_ms  (>1 means faster than reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_MS = 176.3  # reference sphere2500 wall time (doc/performance.md:50)
+
+
+def main():
+    n_poses = int(os.environ.get("APEX_BENCH_POSES", "2500"))
+    rings = int(os.environ.get("APEX_BENCH_RINGS", "50"))
+
+    import jax
+
+    # Benchmarks run wherever the driver points us (TPU if available).
+    import apex_tpu as apx
+    from apex_tpu.io import synthetic
+
+    t0 = time.perf_counter()
+    g = synthetic.synthetic_pose_graph_3d(n_poses=n_poses, rings=rings, seed=0)
+    gen_s = time.perf_counter() - t0
+
+    problem = g.to_problem()
+    cfg = apx.LevenbergMarquardtConfig(
+        mode="jit", max_iterations=100, cost_tolerance=1e-4
+    )
+    solver = apx.LevenbergMarquardt(cfg)
+
+    cp = problem.compile()
+
+    # Warmup (compile)
+    t0 = time.perf_counter()
+    result = solver.optimize(cp)
+    warm_s = time.perf_counter() - t0
+
+    # Steady-state timing
+    runs = int(os.environ.get("APEX_BENCH_RUNS", "3"))
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        result = solver.optimize(cp)
+        best = min(best, time.perf_counter() - t0)
+
+    ms = best * 1e3
+    print(
+        f"# sphere{n_poses}-synthetic: {result.summary()} | gen {gen_s:.1f}s "
+        f"warmup {warm_s:.1f}s best {ms:.1f}ms | device {jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "sphere2500_synthetic_lm_solve",
+                "value": round(ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(BASELINE_MS / ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

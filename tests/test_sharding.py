@@ -1,0 +1,62 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import apex_tpu as apx
+from apex_tpu.io import synthetic
+from apex_tpu.parallel import make_sharded_lm_step, make_sharded_normal_fn
+
+
+@pytest.fixture
+def mesh():
+    devs = np.array(jax.devices())
+    return Mesh(devs, ("data",))
+
+
+def test_sharded_normal_matches_single_device(mesh):
+    g = synthetic.synthetic_pose_graph_2d(n_poses=50, trajectory="ring", seed=2)
+    cp = g.to_problem().compile()
+    values = cp.initial_values()
+
+    H0, g0, c0 = jax.jit(cp.assemble_normal)(values)
+    fn, shard_args = make_sharded_normal_fn(cp, mesh)
+    H1, g1, c1 = jax.jit(fn)(values, *shard_args)
+
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), atol=1e-12)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-14)
+
+
+def test_sharded_lm_step_converges(mesh):
+    g = synthetic.synthetic_pose_graph_3d(n_poses=48, rings=4, seed=9)
+    cp = g.to_problem().compile()
+    step = make_sharded_lm_step(cp, mesh)
+
+    @jax.jit
+    def run(values):
+        damping = jnp.asarray(1e-3, cp.dtype)
+        nu = jnp.asarray(2.0, cp.dtype)
+        cost0 = cp.cost(values)
+        state = (values, damping, nu, cost0)
+        for _ in range(8):
+            state = step(*state)
+        return cost0, state[3]
+
+    cost0, cost_final = run(cp.initial_values())
+    assert float(cost_final) < 0.15 * float(cost0)
+
+
+def test_sharded_with_loss_and_fixed(mesh):
+    g = synthetic.synthetic_pose_graph_2d(n_poses=33, seed=4)  # odd count: padding
+    problem = g.to_problem(loss=apx.HuberLoss(1.0), fix_first=True)
+    cp = problem.compile()
+    values = cp.initial_values()
+    H0, g0, c0 = jax.jit(cp.assemble_normal)(values)
+    fn, shard_args = make_sharded_normal_fn(cp, mesh)
+    H1, g1, c1 = jax.jit(fn)(values, *shard_args)
+    np.testing.assert_allclose(np.asarray(H1), np.asarray(H0), atol=1e-12)
+    np.testing.assert_allclose(float(c1), float(c0), rtol=1e-14)
