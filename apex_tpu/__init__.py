@@ -29,6 +29,10 @@ from .core.problem import CompiledProblem, Problem
 from .factors import BetweenFactor, ManifoldPriorFactor, PriorFactor
 from .manifolds import SE2, SE3, SO2, SO3, Rn
 from .optim import (
+    DogLeg,
+    DogLegConfig,
+    GaussNewton,
+    GaussNewtonConfig,
     LevenbergMarquardt,
     LevenbergMarquardtConfig,
     SolverResult,
@@ -44,4 +48,5 @@ __all__ = [
     "BetweenFactor", "PriorFactor", "ManifoldPriorFactor",
     "Loss", "L2Loss", "L1Loss", "HuberLoss", "CauchyLoss",
     "LevenbergMarquardt", "LevenbergMarquardtConfig", "SolverResult", "Status",
+    "GaussNewton", "GaussNewtonConfig", "DogLeg", "DogLegConfig",
 ]

@@ -48,6 +48,11 @@ class VarPool:
 @dataclasses.dataclass
 class FactorGroup:
     factor_cls: type
+    # Batched linearization kernel: (manifolds, data, params, compute_jac)
+    # -> (r [K, d], [J [K, d, dof_s] ...]). Usually factor_cls.linearize;
+    # factors with bound state (e.g. ProjectionFactor's camera model)
+    # provide a closure via group_kernel().
+    kernel: object
     manifolds: Tuple
     data: Dict[str, jnp.ndarray]  # each [K, ...]
     loss_kind: str
@@ -73,6 +78,8 @@ class Problem:
         self._manifold_of: Dict[str, str] = {}
         self._values: Dict[str, np.ndarray] = {}
         self._blocks: List[Tuple[Tuple[str, ...], Factor, Optional[Loss]]] = []
+        # bulk-added factor batches: (slot_keys, template, data, loss, count)
+        self._bulk: List[tuple] = []
         self._fixed: Dict[str, Optional[List[int]]] = {}
         self._bounds: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
@@ -111,6 +118,55 @@ class Problem:
         self._blocks.append((keys, factor, loss))
         return len(self._blocks) - 1
 
+    def add_residual_block_batch(
+        self,
+        slot_keys: Sequence[Sequence[str]],
+        template: Factor,
+        data: Dict[str, np.ndarray],
+        loss: Optional[Loss] = None,
+        loss_params: Optional[np.ndarray] = None,
+    ):
+        """Bulk path for large factor batches (BA observations): one call adds
+        K factors sharing ``template``'s signature/kernel with pre-stacked
+        per-factor ``data`` arrays [K, ...]. ``slot_keys[s]`` is the list of
+        K variable names bound to slot s. Variables must already exist (use
+        add_variables_batch). Avoids K Python factor objects — the host-side
+        analogue of the reference's bulk add_factors (bin/bundle_adjustment
+        .rs:391-441)."""
+        manifolds = template.var_manifolds()
+        if len(slot_keys) != len(manifolds):
+            raise ValueError(
+                f"{type(template).__name__} binds {len(manifolds)} slots, got "
+                f"{len(slot_keys)}"
+            )
+        counts = {len(k) for k in slot_keys} | {v.shape[0] for v in data.values()}
+        if len(counts) != 1:
+            raise ValueError(f"inconsistent batch sizes: {counts}")
+        count = counts.pop()
+        for s, m in enumerate(manifolds):
+            for k in slot_keys[s]:
+                if k not in self._manifold_of:
+                    raise KeyError(f"unknown variable {k!r} (add variables first)")
+                if self._manifold_of[k] != m:
+                    raise ValueError(
+                        f"slot {s} expects {m}, variable {k!r} is {self._manifold_of[k]}"
+                    )
+        self._bulk.append((tuple(tuple(k) for k in slot_keys), template, dict(data),
+                           loss, loss_params, count))
+
+    def add_variables_batch(self, names: Sequence[str], manifold, values: np.ndarray):
+        mname = manifold if isinstance(manifold, str) else manifold.name
+        G = get_manifold(mname)
+        values = np.asarray(values, dtype=np.float64)
+        if values.shape != (len(names), G.storage_dim):
+            raise ValueError(
+                f"expected values of shape ({len(names)}, {G.storage_dim}), "
+                f"got {values.shape}"
+            )
+        for i, n in enumerate(names):
+            self._manifold_of[n] = mname
+            self._values[n] = values[i]
+
     def remove_residual_block(self, block_id: int):
         self._blocks[block_id] = None
 
@@ -135,7 +191,9 @@ class Problem:
 
     @property
     def num_residual_blocks(self) -> int:
-        return sum(1 for b in self._blocks if b is not None)
+        return sum(1 for b in self._blocks if b is not None) + sum(
+            b[-1] for b in self._bulk
+        )
 
     @property
     def variable_names(self) -> List[str]:
@@ -271,13 +329,71 @@ class Problem:
                     None if np.all(slot_free == 1.0) else jnp.asarray(slot_free, dtype=dtype)
                 )
 
+            kernel = f0.group_kernel() if hasattr(f0, "group_kernel") else type(f0).linearize
             groups.append(
                 FactorGroup(
                     factor_cls=type(f0),
+                    kernel=kernel,
                     manifolds=manifolds,
                     data=data,
                     loss_kind=lkind,
                     loss_params=loss_params,
+                    pool_ids=tuple(pool_ids),
+                    indices=tuple(idx_arrays),
+                    cols=tuple(col_arrays),
+                    free_masks=tuple(mask_arrays),
+                    residual_dim=d,
+                    row_offset=row_offset,
+                    count=count,
+                )
+            )
+            row_offset += d * count
+
+        # Bulk-added factor batches become their own groups directly.
+        for slot_keys, template, bdata, loss, loss_params, count in self._bulk:
+            manifolds = tuple(get_manifold(m) for m in template.var_manifolds())
+            d = template.residual_dim()
+            lkind = loss.kind if loss is not None else "l2"
+            nparams = loss.num_params if loss is not None else 0
+            if loss_params is None:
+                lp = np.tile(
+                    np.asarray(loss.params if loss is not None else (), dtype=np.float64),
+                    (count, 1),
+                ).reshape(count, nparams)
+            else:
+                lp = np.asarray(loss_params, dtype=np.float64).reshape(count, nparams)
+
+            idx_arrays, col_arrays, pool_ids, mask_arrays = [], [], [], []
+            for s in range(len(manifolds)):
+                locs = [var_loc[k] for k in slot_keys[s]]
+                pids = {p for p, _ in locs}
+                if len(pids) != 1:
+                    raise AssertionError("slot spans multiple pools")
+                pid = pids.pop()
+                rows = np.asarray([r for _, r in locs], dtype=np.int32)
+                cols_s = np.asarray([col_of[k] for k in slot_keys[s]], dtype=np.int32)
+                pool_ids.append(pid)
+                idx_arrays.append(jnp.asarray(rows))
+                col_arrays.append(jnp.asarray(cols_s))
+                pool_free = np.asarray(pools[pid].free_mask)
+                slot_free = pool_free[rows]
+                mask_arrays.append(
+                    None if np.all(slot_free == 1.0) else jnp.asarray(slot_free, dtype=dtype)
+                )
+
+            kernel = (
+                template.group_kernel()
+                if hasattr(template, "group_kernel")
+                else type(template).linearize
+            )
+            groups.append(
+                FactorGroup(
+                    factor_cls=type(template),
+                    kernel=kernel,
+                    manifolds=manifolds,
+                    data={k: jnp.asarray(v, dtype=dtype) for k, v in bdata.items()},
+                    loss_kind=lkind,
+                    loss_params=jnp.asarray(lp, dtype=dtype),
                     pool_ids=tuple(pool_ids),
                     indices=tuple(idx_arrays),
                     cols=tuple(col_arrays),
@@ -336,9 +452,7 @@ class CompiledProblem:
     def group_linearize(self, values, group: FactorGroup, compute_jacobian: bool):
         """Fused kernel: gather -> factor residual(+J) -> corrector."""
         params = self._gather(values, group)
-        r, jacs = group.factor_cls.linearize(
-            group.manifolds, group.data, params, compute_jacobian
-        )
+        r, jacs = group.kernel(group.manifolds, group.data, params, compute_jacobian)
         if compute_jacobian and any(m is not None for m in group.free_masks):
             jacs = [
                 j if m is None else j * m[:, None, :]

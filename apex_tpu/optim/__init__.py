@@ -1,4 +1,6 @@
 from .common import ConvergenceConfig, IterationStats, SolverResult, Status
+from .dogleg import DogLeg, DogLegConfig
+from .gauss_newton import GaussNewton, GaussNewtonConfig
 from .lm import LevenbergMarquardt, LevenbergMarquardtConfig
 
 __all__ = [
@@ -8,4 +10,8 @@ __all__ = [
     "ConvergenceConfig",
     "LevenbergMarquardt",
     "LevenbergMarquardtConfig",
+    "GaussNewton",
+    "GaussNewtonConfig",
+    "DogLeg",
+    "DogLegConfig",
 ]

@@ -1,0 +1,239 @@
+"""Powell Dog Leg with Ceres enhancements.
+
+Mirrors the reference (src/optimizer/dog_leg.rs):
+- Cauchy point alpha = ||g||^2 / (g^T H g) (:776-803)
+- 3-case step: GN inside TR / boundary-scaled steepest descent /
+  interpolated with the cancellation-robust beta (Ceres formulas, :818-902)
+- predicted reduction -step^T g - 0.5 step^T H step (:986-1000)
+- acceptance rho > 1e-4; Ceres TR update: good (rho > 0.75) ->
+  radius = max(radius, 3 ||step||), mu decreases; poor (rho < 0.25) ->
+  radius *= 0.5, enable step reuse (:905-945)
+- adaptive mu regularization of the GN solve (initial 1e-4, :1020-1040)
+- step-reuse cache on rejection, max 5 reuses (:963-1017). Deviation from
+  the reference: we only reuse when the step was actually rejected
+  (parameters unmoved) — the reference can reuse a stale cache after an
+  accepted-but-poor step.
+
+Dense solver paths only for now (the reference's BA preset uses LM+Schur).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import CompiledProblem
+from ..linalg import dense as dense_linalg
+from .common import ConvergenceConfig, Status, check_convergence, compute_step_quality
+from .lm import LevenbergMarquardt, LevenbergMarquardtConfig, _tree_where
+
+
+@dataclasses.dataclass
+class DogLegConfig:
+    linear_solver_type: str = "dense_cholesky"
+    max_iterations: int = 50
+    cost_tolerance: float = 1e-6
+    parameter_tolerance: float = 1e-8
+    gradient_tolerance: float = 1e-10
+    timeout: Optional[float] = None
+    min_cost_threshold: Optional[float] = None
+    trust_region_radius: float = 1e4
+    trust_region_min: float = 1e-12
+    trust_region_max: float = 1e12
+    trust_region_decrease_factor: float = 0.5
+    good_step_quality: float = 0.75
+    poor_step_quality: float = 0.25
+    initial_mu: float = 1e-4
+    min_mu: float = 1e-12
+    max_mu: float = 1e8
+    mu_increase_factor: float = 10.0
+    enable_step_reuse: bool = True
+    compute_covariances: bool = False
+    mode: str = "python"
+    collect_stats: bool = False
+    verbose: bool = False
+
+    def convergence(self) -> ConvergenceConfig:
+        return ConvergenceConfig(
+            max_iterations=self.max_iterations,
+            cost_tolerance=self.cost_tolerance,
+            parameter_tolerance=self.parameter_tolerance,
+            gradient_tolerance=self.gradient_tolerance,
+            timeout=self.timeout,
+            min_cost_threshold=self.min_cost_threshold,
+            min_trust_region_radius=self.trust_region_min,
+        )
+
+
+def _dogleg_step(g, dx_gn, cauchy, delta):
+    """3-case dog-leg step on precomputed pieces; all branches evaluated,
+    selected with where (scalar conditions)."""
+    gn_norm = jnp.linalg.norm(dx_gn)
+    c_norm = jnp.linalg.norm(cauchy)
+    g_norm = jnp.linalg.norm(g)
+
+    # Case 2: boundary-scaled steepest descent
+    safe_g = jnp.where(g_norm == 0, 1.0, g_norm)
+    sd_step = -(delta / safe_g) * g
+
+    # Case 3: interpolation with Ceres' cancellation-robust beta
+    v = dx_gn - cauchy
+    a = jnp.dot(v, v)
+    b = jnp.dot(cauchy, v)
+    c = c_norm * c_norm - delta * delta
+    d2 = b * b - a * c
+    d = jnp.sqrt(jnp.maximum(d2, 0.0))
+    safe_a = jnp.where(jnp.abs(a) < 1e-15, 1.0, a)
+    safe_bd = jnp.where(b + d == 0, 1.0, b + d)
+    beta = jnp.where(
+        (d2 < 0.0) | (jnp.abs(a) < 1e-15),
+        1.0,
+        jnp.where(b <= 0.0, (-b + d) / safe_a, -c / safe_bd),
+    )
+    beta = jnp.clip(beta, 0.0, 1.0)
+    dl_step = cauchy + beta * v
+
+    step = jnp.where(
+        gn_norm <= delta,
+        dx_gn,
+        jnp.where(c_norm >= delta, sd_step, dl_step),
+    )
+    return step
+
+
+class DogLeg(LevenbergMarquardt):
+    def __init__(self, config: Optional[DogLegConfig] = None):
+        self.dl_config = config or DogLegConfig()
+        cfg = self.dl_config
+        lm_cfg = LevenbergMarquardtConfig(
+            linear_solver_type=cfg.linear_solver_type,
+            max_iterations=cfg.max_iterations,
+            cost_tolerance=cfg.cost_tolerance,
+            parameter_tolerance=cfg.parameter_tolerance,
+            gradient_tolerance=cfg.gradient_tolerance,
+            timeout=cfg.timeout,
+            min_cost_threshold=cfg.min_cost_threshold,
+            compute_covariances=cfg.compute_covariances,
+            mode=cfg.mode,
+            collect_stats=cfg.collect_stats,
+            verbose=cfg.verbose,
+        )
+        super().__init__(lm_cfg)
+
+    def _make_step_fn(self, cp: CompiledProblem):
+        dl = self.dl_config
+        ccfg = dl.convergence()
+        if dl.linear_solver_type not in ("dense_cholesky", "dense_qr"):
+            raise NotImplementedError(
+                "DogLeg currently supports the dense solver paths"
+            )
+
+        def step(values, state_pack, nu_unused, current_cost, iteration, jacobi_scale):
+            # state_pack carries (delta, mu, cache...) packed as a dict in
+            # place of LM's damping scalar.
+            delta = state_pack["delta"]
+            mu = state_pack["mu"]
+            cache = state_pack["cache"]
+
+            def fresh(_):
+                H, g, cost = cp.assemble_normal(values)
+                dx_gn = dense_linalg.solve_cholesky_with_retry(H, g, mu)
+                gTg = jnp.dot(g, g)
+                Hg = H @ g
+                gHg = jnp.dot(g, Hg)
+                alpha = jnp.where(jnp.abs(gHg) > 1e-15, gTg / gHg, 1.0)
+                cauchy = -alpha * g
+                return H, g, dx_gn, cauchy, cost, jnp.asarray(0, jnp.int32)
+
+            def reuse(_):
+                return (
+                    cache["H"],
+                    cache["g"],
+                    cache["dx_gn"],
+                    cache["cauchy"],
+                    current_cost,
+                    cache["count"] + 1,
+                )
+
+            can_reuse = cache["valid"] & (cache["count"] < 5) & (iteration > 0)
+            H, g, dx_gn, cauchy, current_cost, reuse_count = jax.lax.cond(
+                can_reuse, reuse, fresh, operand=None
+            )
+
+            dx = _dogleg_step(g, dx_gn, cauchy, delta)
+            gradient_norm = jnp.linalg.norm(g)
+            step_norm = jnp.linalg.norm(dx)
+            predicted = -jnp.dot(dx, g) - 0.5 * jnp.dot(dx, H @ dx)
+
+            new_values = cp.apply_step(values, dx)
+            new_cost = cp.cost(new_values)
+            rho = compute_step_quality(current_cost, new_cost, predicted)
+            accepted = rho > 1e-4
+
+            good = rho > dl.good_step_quality
+            poor = rho < dl.poor_step_quality
+            new_delta = jnp.where(
+                good,
+                jnp.minimum(jnp.maximum(delta, 3.0 * step_norm), dl.trust_region_max),
+                jnp.where(
+                    poor,
+                    jnp.maximum(delta * dl.trust_region_decrease_factor, dl.trust_region_min),
+                    delta,
+                ),
+            )
+            new_mu = jnp.where(
+                good, jnp.maximum(mu / (0.5 * dl.mu_increase_factor), dl.min_mu), mu
+            )
+
+            out_values = _tree_where(accepted, new_values, values)
+            out_cost = jnp.where(accepted, new_cost, current_cost)
+
+            # Reuse only when rejected (parameters unmoved).
+            cache_valid = (~accepted) & poor & bool(dl.enable_step_reuse)
+            new_cache = dict(
+                H=H, g=g, dx_gn=dx_gn, cauchy=cauchy,
+                valid=cache_valid, count=reuse_count,
+            )
+
+            status = check_convergence(
+                iteration=iteration,
+                current_cost=current_cost,
+                new_cost=out_cost,
+                parameter_norm=cp.parameter_norm(out_values),
+                parameter_update_norm=step_norm,
+                gradient_norm=gradient_norm,
+                step_accepted=accepted,
+                cfg=ccfg,
+                trust_region_radius=new_delta,
+            )
+            metrics = dict(
+                rho=rho,
+                accepted=accepted,
+                gradient_norm=gradient_norm,
+                step_norm=step_norm,
+                new_cost=new_cost,
+            )
+            new_pack = dict(delta=new_delta, mu=new_mu, cache=new_cache)
+            return out_values, new_pack, nu_unused, out_cost, status, jacobi_scale, metrics
+
+        return step
+
+    def _init_damping_state(self, cp: CompiledProblem):
+        dl = self.dl_config
+        D = cp.total_dof
+        zeros = jnp.zeros((D,), dtype=cp.dtype)
+        return dict(
+            delta=jnp.asarray(dl.trust_region_radius, cp.dtype),
+            mu=jnp.asarray(dl.initial_mu, cp.dtype),
+            cache=dict(
+                H=jnp.zeros((D, D), dtype=cp.dtype),
+                g=zeros,
+                dx_gn=zeros,
+                cauchy=zeros,
+                valid=jnp.asarray(False),
+                count=jnp.asarray(0, jnp.int32),
+            ),
+        )

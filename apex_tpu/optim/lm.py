@@ -99,20 +99,33 @@ class LevenbergMarquardt:
         self.observers.append(observer)
 
     # ------------------------------------------------------------------
-    def _make_step_fn(self, cp: CompiledProblem):
+    def _make_solve_fn(self, cp: CompiledProblem):
+        """Build linearize_and_solve(values, damping, iteration, jacobi_scale)
+        -> (dx, g, cost, scale) for the configured linear solver."""
         cfg = self.config
         solver_type = cfg.linear_solver_type
-        if solver_type in ("schur_explicit", "schur_implicit"):
-            from ..linalg.schur import make_schur_step
+        if solver_type in ("schur_explicit", "schur_implicit", "sparse_schur"):
+            from ..linalg.schur import SchurContext
 
-            return make_schur_step(cp, cfg)
+            ctx = SchurContext(
+                cp,
+                variant="iterative" if solver_type == "schur_implicit" else "sparse",
+                preconditioner=cfg.schur_preconditioner,
+                pcg_max_iterations=cfg.pcg_max_iterations,
+                pcg_tolerance=cfg.pcg_tolerance,
+            )
 
-        use_qr = solver_type == "dense_qr"
-        ccfg = cfg.convergence()
+            def solve_schur(values, damping, iteration, jacobi_scale):
+                dx, g, cost = ctx.solve(values, damping)
+                return dx, g, cost, jacobi_scale
 
-        def step(values, damping, nu, current_cost, iteration, jacobi_scale):
-            if use_qr:
+            return solve_schur
+
+        if solver_type == "dense_qr":
+
+            def solve_qr_fn(values, damping, iteration, jacobi_scale):
                 r, J = cp.assemble_dense_jacobian(values)
+                cost = 0.5 * jnp.dot(r, r)
                 if cfg.use_jacobi_scaling:
                     scale = jnp.where(
                         iteration == 0,
@@ -123,23 +136,40 @@ class LevenbergMarquardt:
                 else:
                     scale = jacobi_scale
                 g = J.T @ r
-                dx_scaled = dense_linalg.solve_qr(r, J, damping)
-            else:
-                H, g, current_cost = cp.assemble_normal(values)
+                dx = dense_linalg.solve_qr(r, J, damping)
                 if cfg.use_jacobi_scaling:
-                    scale = jnp.where(
-                        iteration == 0,
-                        1.0 / (1.0 + jnp.sqrt(jnp.diag(H))),
-                        jacobi_scale,
-                    )
-                    H = H * scale[None, :] * scale[:, None]
-                    g = g * scale
-                else:
-                    scale = jacobi_scale
-                dx_scaled = dense_linalg.solve_cholesky_with_retry(H, g, damping)
+                    dx = dx * scale
+                return dx, g, cost, scale
 
+            return solve_qr_fn
+
+        def solve_chol(values, damping, iteration, jacobi_scale):
+            H, g, cost = cp.assemble_normal(values)
+            if cfg.use_jacobi_scaling:
+                scale = jnp.where(
+                    iteration == 0,
+                    1.0 / (1.0 + jnp.sqrt(jnp.diag(H))),
+                    jacobi_scale,
+                )
+                H = H * scale[None, :] * scale[:, None]
+                g = g * scale
+            else:
+                scale = jacobi_scale
+            dx = dense_linalg.solve_cholesky_with_retry(H, g, damping)
+            if cfg.use_jacobi_scaling:
+                dx = dx * scale
+            return dx, g, cost, scale
+
+        return solve_chol
+
+    def _make_step_fn(self, cp: CompiledProblem):
+        cfg = self.config
+        ccfg = cfg.convergence()
+        solve_fn = self._make_solve_fn(cp)
+
+        def step(values, damping, nu, current_cost, iteration, jacobi_scale):
+            dx, g, current_cost, scale = solve_fn(values, damping, iteration, jacobi_scale)
             gradient_norm = jnp.linalg.norm(g)
-            dx = dx_scaled * scale if cfg.use_jacobi_scaling else dx_scaled
             step_norm = jnp.linalg.norm(dx)
 
             # predicted = 0.5 * step^T (lambda*step - g)  (lm.rs:721-727)
@@ -204,6 +234,11 @@ class LevenbergMarquardt:
             return self._optimize_jit(cp)
         return self._optimize_python(cp)
 
+    def _init_damping_state(self, cp: CompiledProblem):
+        """The solver-specific state threaded through step() in place of LM's
+        damping scalar (DogLeg packs its trust region + cache here)."""
+        return jnp.asarray(self.config.damping, dtype=cp.dtype)
+
     # ------------------------------------------------------------------
     def _optimize_python(self, cp: CompiledProblem) -> SolverResult:
         cfg = self.config
@@ -212,7 +247,7 @@ class LevenbergMarquardt:
         initial_cost = float(jax.jit(cp.cost)(values))
 
         step_fn = jax.jit(self._make_step_fn(cp))
-        damping = jnp.asarray(cfg.damping, dtype=cp.dtype)
+        damping = self._init_damping_state(cp)
         nu = jnp.asarray(2.0, dtype=cp.dtype)
         cost = jnp.asarray(initial_cost, dtype=cp.dtype)
         jacobi_scale = jnp.ones((cp.total_dof,), dtype=cp.dtype)
@@ -243,6 +278,10 @@ class LevenbergMarquardt:
             status = Status(int(status_arr))
 
             if stats is not None:
+                tr_radius = (
+                    float(damping) if not isinstance(damping, dict)
+                    else float(damping.get("delta", jnp.nan))
+                )
                 st = IterationStats(
                     iteration=iteration,
                     cost=cost_f,
@@ -250,7 +289,7 @@ class LevenbergMarquardt:
                     gradient_norm=grad_norm,
                     step_norm=step_norm,
                     tr_ratio=float(metrics["rho"]),
-                    tr_radius=float(damping),
+                    tr_radius=tr_radius,
                     iter_time_ms=(time.perf_counter() - it_start) * 1e3,
                     total_time_ms=(time.perf_counter() - start) * 1e3,
                     accepted=accepted,
@@ -266,7 +305,8 @@ class LevenbergMarquardt:
                     iteration,
                     cost_f,
                     grad_norm,
-                    float(damping),
+                    float(damping) if not isinstance(damping, dict)
+                    else float(damping.get("delta", jnp.nan)),
                     step_norm,
                     float(metrics["rho"]),
                 )
@@ -335,7 +375,7 @@ class LevenbergMarquardt:
             cost0 = cp.cost(values)
             init = (
                 values,
-                jnp.asarray(cfg.damping, dtype=cp.dtype),
+                self._init_damping_state(cp),
                 jnp.asarray(2.0, dtype=cp.dtype),
                 cost0,
                 jnp.asarray(0, jnp.int32),

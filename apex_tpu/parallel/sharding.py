@@ -46,6 +46,7 @@ def pad_groups_for_mesh(cp: CompiledProblem, n_devices: int):
         Kp = int(-(-g.count // n_devices) * n_devices)
         padded = FactorGroup(
             factor_cls=g.factor_cls,
+            kernel=g.kernel,
             manifolds=g.manifolds,
             data={k: _pad_axis0(v, Kp) for k, v in g.data.items()},
             loss_kind=g.loss_kind,

@@ -1,0 +1,141 @@
+"""Optimizer tests: GN, DogLeg, LM cross-checks + the Rosenbrock custom
+factor (reference pattern: levenberg_marquardt.rs:1103-1137 validates the
+custom-Factor extension path with Rosenbrock)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import apex_tpu as apx
+from apex_tpu.factors.base import AutoDiffFactor
+from apex_tpu.io import synthetic
+
+
+class RosenbrockFactor(AutoDiffFactor):
+    """r = [10 (y - x^2), 1 - x] over a single R2 variable (autodiff J)."""
+
+    kind = "rosenbrock"
+
+    def signature(self):
+        return ("rosenbrock",)
+
+    def var_manifolds(self):
+        return ["R2"]
+
+    def residual_dim(self):
+        return 2
+
+    def data(self):
+        return {}
+
+    @classmethod
+    def residual(cls, manifolds, data, params):
+        xy = params[0]
+        x, y = xy[..., 0], xy[..., 1]
+        return jnp.stack([10.0 * (y - x * x), 1.0 - x], axis=-1)
+
+
+def rosenbrock_problem(x0=(-1.2, 1.0)):
+    p = apx.Problem()
+    p.add_variable("xy", "R2", np.asarray(x0))
+    p.add_residual_block(["xy"], RosenbrockFactor())
+    return p
+
+
+def test_lm_solves_rosenbrock():
+    cfg = apx.LevenbergMarquardtConfig(max_iterations=100)
+    res = apx.LevenbergMarquardt(cfg).optimize(rosenbrock_problem())
+    assert res.converged
+    np.testing.assert_allclose(res.variables["xy"], [1.0, 1.0], atol=1e-6)
+
+
+def test_gauss_newton_solves_rosenbrock():
+    res = apx.GaussNewton(apx.GaussNewtonConfig(max_iterations=100)).optimize(
+        rosenbrock_problem()
+    )
+    assert res.converged
+    np.testing.assert_allclose(res.variables["xy"], [1.0, 1.0], atol=1e-6)
+
+
+def test_dogleg_solves_rosenbrock():
+    res = apx.DogLeg(apx.DogLegConfig(max_iterations=200)).optimize(rosenbrock_problem())
+    assert res.converged, res.status
+    np.testing.assert_allclose(res.variables["xy"], [1.0, 1.0], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return synthetic.synthetic_pose_graph_2d(n_poses=60, trajectory="ring", seed=8)
+
+
+def test_all_optimizers_reach_same_optimum(graph):
+    r_lm = apx.LevenbergMarquardt().optimize(graph.to_problem())
+    r_gn = apx.GaussNewton().optimize(graph.to_problem())
+    r_dl = apx.DogLeg().optimize(graph.to_problem())
+    assert r_lm.converged and r_gn.converged and r_dl.converged
+    np.testing.assert_allclose(r_gn.final_cost, r_lm.final_cost, rtol=1e-6)
+    np.testing.assert_allclose(r_dl.final_cost, r_lm.final_cost, rtol=1e-6)
+
+
+def test_dogleg_se3(graph):
+    g3 = synthetic.synthetic_pose_graph_3d(n_poses=48, rings=4, seed=10)
+    res = apx.DogLeg().optimize(g3.to_problem())
+    assert res.converged
+    assert res.final_cost < 0.15 * res.initial_cost
+
+
+def test_gn_jit_mode(graph):
+    cfg = apx.GaussNewtonConfig(mode="jit")
+    res = apx.GaussNewton(cfg).optimize(graph.to_problem())
+    r_py = apx.GaussNewton().optimize(graph.to_problem())
+    assert res.status == r_py.status
+    np.testing.assert_allclose(res.final_cost, r_py.final_cost, rtol=1e-12)
+
+
+def test_dogleg_jit_mode(graph):
+    cfg = apx.DogLegConfig(mode="jit")
+    res = apx.DogLeg(cfg).optimize(graph.to_problem())
+    r_py = apx.DogLeg().optimize(graph.to_problem())
+    assert res.status == r_py.status
+    np.testing.assert_allclose(res.final_cost, r_py.final_cost, rtol=1e-12)
+
+
+def test_timeout_status():
+    g = synthetic.synthetic_pose_graph_2d(n_poses=60, seed=12)
+    cfg = apx.LevenbergMarquardtConfig(timeout=0.0)
+    res = apx.LevenbergMarquardt(cfg).optimize(g.to_problem())
+    assert res.status == apx.Status.TIMEOUT
+
+
+def test_min_cost_threshold():
+    cfg = apx.LevenbergMarquardtConfig(min_cost_threshold=1e3, max_iterations=100)
+    g = synthetic.synthetic_pose_graph_2d(n_poses=60, seed=12)
+    res = apx.LevenbergMarquardt(cfg).optimize(g.to_problem())
+    assert res.status == apx.Status.MIN_COST_THRESHOLD_REACHED
+
+
+def test_observer_called():
+    calls = []
+
+    class Obs:
+        def on_step(self, variables, iteration, cost, grad, damping, step, rho):
+            calls.append((iteration, cost))
+
+        def notify_complete(self, variables, iterations):
+            calls.append(("done", iterations))
+
+    g = synthetic.synthetic_pose_graph_2d(n_poses=30, seed=14)
+    lm = apx.LevenbergMarquardt()
+    lm.add_observer(Obs())
+    res = lm.optimize(g.to_problem())
+    assert len(calls) == res.iterations + 1
+    assert calls[-1][0] == "done"
+
+
+def test_iteration_stats_collected():
+    g = synthetic.synthetic_pose_graph_2d(n_poses=30, seed=16)
+    cfg = apx.LevenbergMarquardtConfig(collect_stats=True)
+    res = apx.LevenbergMarquardt(cfg).optimize(g.to_problem())
+    assert res.iteration_stats is not None
+    assert len(res.iteration_stats) == res.iterations
+    assert res.iteration_stats[0].cost >= res.iteration_stats[-1].cost
