@@ -31,6 +31,9 @@ def get(name: str) -> LieGroup:
         return _REGISTRY[name]
     if name.startswith("R") and name[1:].isdigit():
         return Rn(int(name[1:]))
+    _register_extended()
+    if name in _REGISTRY:
+        return _REGISTRY[name]
     raise KeyError(f"unknown manifold: {name!r}")
 
 

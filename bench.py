@@ -25,12 +25,17 @@ BASELINE_MS = 176.3  # reference sphere2500 wall time (doc/performance.md:50)
 def main():
     n_poses = int(os.environ.get("APEX_BENCH_POSES", "2500"))
     rings = int(os.environ.get("APEX_BENCH_RINGS", "50"))
+    dtype_name = os.environ.get("APEX_BENCH_DTYPE", "f32")
 
     import jax
 
     # Benchmarks run wherever the driver points us (TPU if available).
     import apex_tpu as apx
     from apex_tpu.io import synthetic
+
+    import numpy as np
+
+    dtype = np.float32 if dtype_name == "f32" else np.float64
 
     t0 = time.perf_counter()
     g = synthetic.synthetic_pose_graph_3d(n_poses=n_poses, rings=rings, seed=0)
@@ -42,7 +47,7 @@ def main():
     )
     solver = apx.LevenbergMarquardt(cfg)
 
-    cp = problem.compile()
+    cp = problem.compile(dtype=dtype)
 
     # Warmup (compile)
     t0 = time.perf_counter()

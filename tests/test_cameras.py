@@ -14,6 +14,13 @@ EPS = 1e-7
 CASES = [
     ("bal_pinhole", jnp.asarray([800.0, -0.05, 0.01]), -1),
     ("pinhole", jnp.asarray([500.0, 510.0, 320.0, 240.0]), +1),
+    ("rad_tan", jnp.asarray([460.0, 455.0, 320.0, 240.0, -0.28, 0.07, 1e-4, -2e-4, 0.0]), +1),
+    ("kannala_brandt", jnp.asarray([380.0, 379.0, 318.0, 242.0, 0.01, -0.002, 0.001, -2e-4]), +1),
+    ("fov", jnp.asarray([300.0, 300.0, 320.0, 240.0, 0.9]), +1),
+    ("ucm", jnp.asarray([460.0, 460.0, 320.0, 240.0, 0.6]), +1),
+    ("eucm", jnp.asarray([460.0, 460.0, 320.0, 240.0, 0.6, 1.1]), +1),
+    ("double_sphere", jnp.asarray([350.0, 350.0, 320.0, 240.0, -0.2, 0.59]), +1),
+    ("ftheta", jnp.asarray([320.0, 240.0, 300.0, 5.0, -2.0, 0.3]), +1),
 ]
 
 
