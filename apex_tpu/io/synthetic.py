@@ -21,6 +21,13 @@ from .bal import BalDataset
 from .graph import Edge, Graph
 
 
+def _cpu():
+    """Dataset generation is host-side data prep — always run it on the CPU
+    backend even when the default device is a TPU (device dispatch and
+    compile latency through the TPU tunnel dwarf the work)."""
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
 def _integrate(G, start, steps):
     """Cumulative compose: start, start∘s0, start∘s0∘s1, ... -> [K+1, S]."""
 
@@ -28,11 +35,12 @@ def _integrate(G, start, steps):
         nxt = G.compose(carry, s)
         return nxt, nxt
 
-    _, out = jax.lax.scan(body, jnp.asarray(start), jnp.asarray(steps))
-    return np.asarray(jnp.concatenate([jnp.asarray(start)[None], out], axis=0))
+    with _cpu():
+        _, out = jax.lax.scan(body, jnp.asarray(start), jnp.asarray(steps))
+        return np.asarray(jnp.concatenate([jnp.asarray(start)[None], out], axis=0))
 
 
-def synthetic_pose_graph_2d(
+def _synthetic_pose_graph_2d_impl(
     n_poses: int = 434,
     trajectory: str = "ring",
     odom_noise=(0.02, 0.02, 0.005),
@@ -83,7 +91,7 @@ def synthetic_pose_graph_2d(
     return g
 
 
-def synthetic_pose_graph_3d(
+def _synthetic_pose_graph_3d_impl(
     n_poses: int = 2500,
     rings: int = 50,
     odom_noise_t: float = 0.05,
@@ -142,7 +150,7 @@ def synthetic_pose_graph_3d(
     return g
 
 
-def synthetic_ba(
+def _synthetic_ba_impl(
     n_cameras: int = 49,
     n_points: int = 1000,
     image_size: float = 800.0,
@@ -205,3 +213,23 @@ def synthetic_ba(
         point_indices=pt_idx.astype(np.int32),
         observations=obs,
     )
+
+
+def synthetic_pose_graph_2d(*args, **kw):
+    with _cpu():
+        return _synthetic_pose_graph_2d_impl(*args, **kw)
+
+
+def synthetic_pose_graph_3d(*args, **kw):
+    with _cpu():
+        return _synthetic_pose_graph_3d_impl(*args, **kw)
+
+
+def synthetic_ba(*args, **kw):
+    with _cpu():
+        return _synthetic_ba_impl(*args, **kw)
+
+
+synthetic_pose_graph_2d.__doc__ = _synthetic_pose_graph_2d_impl.__doc__
+synthetic_pose_graph_3d.__doc__ = _synthetic_pose_graph_3d_impl.__doc__
+synthetic_ba.__doc__ = _synthetic_ba_impl.__doc__

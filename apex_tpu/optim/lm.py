@@ -94,6 +94,11 @@ class LevenbergMarquardt:
     def __init__(self, config: Optional[LevenbergMarquardtConfig] = None):
         self.config = config or LevenbergMarquardtConfig()
         self.observers = []
+        # Compiled-function caches keyed by CompiledProblem identity: repeat
+        # solves of the same problem structure must not re-trace/re-compile
+        # (XLA compilation dominates wall time on TPU).
+        self._step_cache = {}
+        self._run_cache = {}
 
     def add_observer(self, observer):
         self.observers.append(observer)
@@ -246,7 +251,10 @@ class LevenbergMarquardt:
         values = cp.initial_values()
         initial_cost = float(jax.jit(cp.cost)(values))
 
-        step_fn = jax.jit(self._make_step_fn(cp))
+        key = id(cp)
+        if key not in self._step_cache:
+            self._step_cache[key] = jax.jit(self._make_step_fn(cp))
+        step_fn = self._step_cache[key]
         damping = self._init_damping_state(cp)
         nu = jnp.asarray(2.0, dtype=cp.dtype)
         cost = jnp.asarray(initial_cost, dtype=cp.dtype)
@@ -351,6 +359,10 @@ class LevenbergMarquardt:
     def _optimize_jit(self, cp: CompiledProblem) -> SolverResult:
         """Whole solve in one lax.while_loop (no host round-trips)."""
         cfg = self.config
+        key = id(cp)
+        if key in self._run_cache:
+            start = time.perf_counter()
+            return self._finish_jit(cp, start, *self._run_cache[key](cp.initial_values()))
         step_fn = self._make_step_fn(cp)
 
         def body(state):
@@ -392,15 +404,17 @@ class LevenbergMarquardt:
             final = jax.lax.while_loop(cond, body, init)
             return cost0, final
 
+        self._run_cache[key] = run
         start = time.perf_counter()
-        values = cp.initial_values()
-        cost0, final = run(values)
+        return self._finish_jit(cp, start, *run(cp.initial_values()))
+
+    def _finish_jit(self, cp: CompiledProblem, start, cost0, final) -> SolverResult:
         (values, damping, nu, cost, iteration, status, _, stats) = final
-        cost_f = float(cost)
+        cost_f = float(cost)  # device sync happens here
         elapsed = time.perf_counter() - start
 
         covariances = None
-        if cfg.compute_covariances:
+        if self.config.compute_covariances:
             from ..core.covariance import compute_covariances
 
             covariances = compute_covariances(cp, values)
