@@ -221,8 +221,14 @@ class LevenbergMarquardt:
         return step
 
     # ------------------------------------------------------------------
-    def optimize(self, problem, initial_values=None) -> SolverResult:
+    def optimize(self, problem, initial_values=None, checkpoint=None) -> SolverResult:
+        """Run the optimization. ``checkpoint`` (an OptimizerCheckpoint from
+        core.checkpoint) resumes a previous solve: values, damping, nu and
+        the iteration counter are restored (python mode)."""
         cp = problem if isinstance(problem, CompiledProblem) else problem.compile(initial_values)
+        if checkpoint is not None:
+            checkpoint.validate_against(cp)
+            return self._optimize_python(cp, checkpoint=checkpoint)
         if not cp.groups or cp.total_dof == 0:
             # Nothing to optimize: converged trivially at cost 0 / initial.
             values = cp.initial_values()
@@ -245,10 +251,13 @@ class LevenbergMarquardt:
         return jnp.asarray(self.config.damping, dtype=cp.dtype)
 
     # ------------------------------------------------------------------
-    def _optimize_python(self, cp: CompiledProblem) -> SolverResult:
+    def _optimize_python(self, cp: CompiledProblem, checkpoint=None) -> SolverResult:
         cfg = self.config
         start = time.perf_counter()
-        values = cp.initial_values()
+        if checkpoint is not None:
+            values = tuple(jnp.asarray(v, dtype=cp.dtype) for v in checkpoint.values)
+        else:
+            values = cp.initial_values()
         initial_cost = float(jax.jit(cp.cost)(values))
 
         key = id(cp)
@@ -257,6 +266,9 @@ class LevenbergMarquardt:
         step_fn = self._step_cache[key]
         damping = self._init_damping_state(cp)
         nu = jnp.asarray(2.0, dtype=cp.dtype)
+        if checkpoint is not None and not isinstance(damping, dict):
+            damping = jnp.asarray(checkpoint.damping, dtype=cp.dtype)
+            nu = jnp.asarray(checkpoint.nu, dtype=cp.dtype)
         cost = jnp.asarray(initial_cost, dtype=cp.dtype)
         jacobi_scale = jnp.ones((cp.total_dof,), dtype=cp.dtype)
 
