@@ -65,8 +65,23 @@ class BalDataset:
 
 
 def load_bal(path) -> BalDataset:
-    # One-pass whole-file tokenization (fast path for 5M-observation files;
-    # the Python analogue of the reference's rayon parallel line parse).
+    # Native C++ mmap parser when available (apex_tpu/native/apex_io.cpp),
+    # else a one-pass numpy tokenization — both single-pass over the file,
+    # the analogue of the reference's rayon parallel line parse.
+    from ..native import parse_bal_native
+
+    native = None
+    try:
+        native = parse_bal_native(path)
+    except ValueError:
+        raise
+    except Exception:
+        native = None
+    if native is not None:
+        data, cams_flat, pts = native
+        n_cam, n_pt, n_obs = cams_flat.shape[0], pts.shape[0], data.shape[0]
+        return _from_arrays(data, cams_flat, pts)
+
     with open(path, "r") as f:
         header = f.readline().split()
         n_cam, n_pt, n_obs = int(header[0]), int(header[1]), int(header[2])
@@ -84,7 +99,13 @@ def load_bal(path) -> BalDataset:
 
     cams = rest[: 9 * n_cam].reshape(n_cam, 9)
     pts = rest[9 * n_cam :].reshape(n_pt, 3)
+    return _from_arrays(data, cams, pts)
 
+
+def _from_arrays(data, cams, pts) -> BalDataset:
+    expected = data.shape[1] == 4 and cams.shape[1] == 9 and pts.shape[1] == 3
+    if not expected:
+        raise ValueError("malformed BAL arrays")
     focals = cams[:, 6].copy()
     bad = ~np.isfinite(focals) | (focals <= 0.0)
     focals[bad] = DEFAULT_FOCAL_LENGTH
@@ -95,7 +116,7 @@ def load_bal(path) -> BalDataset:
         focals=focals,
         k1=cams[:, 7].copy(),
         k2=cams[:, 8].copy(),
-        points=pts,
+        points=pts.copy(),
         cam_indices=data[:, 0].astype(np.int32),
         point_indices=data[:, 1].astype(np.int32),
         observations=data[:, 2:4].copy(),

@@ -26,6 +26,41 @@ def _norm_quat_wfirst(qx, qy, qz, qw, where=""):
 
 
 def load_g2o(path) -> Graph:
+    # Native C++ mmap parser when available; falls back to pure Python.
+    from ..native import parse_g2o_native
+
+    try:
+        native = parse_g2o_native(path)
+    except ValueError:
+        raise
+    except Exception:
+        native = None
+    if native is not None:
+        return _graph_from_native(*native)
+    return _load_g2o_python(path)
+
+
+def _graph_from_native(v2, v3, e2, e3) -> Graph:
+    import numpy as _np
+
+    g = Graph()
+    for row in v2:
+        g.vertices_se2[int(row[0])] = row[1:4].copy()
+    for row in v3:
+        q = _norm_quat_wfirst(row[4], row[5], row[6], row[7])
+        g.vertices_se3[int(row[0])] = _np.concatenate([row[1:4], q])
+    for row in e2:
+        info = upper_tri_to_full(row[5:11], 3)
+        g.edges_se2.append(Edge(int(row[0]), int(row[1]), row[2:5].copy(), info))
+    for row in e3:
+        q = _norm_quat_wfirst(row[5], row[6], row[7], row[8])
+        meas = _np.concatenate([row[2:5], q])
+        info = upper_tri_to_full(row[9:30], 6)
+        g.edges_se3.append(Edge(int(row[0]), int(row[1]), meas, info))
+    return g
+
+
+def _load_g2o_python(path) -> Graph:
     g = Graph()
     with open(path, "r") as f:
         for lineno, line in enumerate(f, 1):
