@@ -576,3 +576,21 @@ class CompiledProblem:
         for arr in values:
             total = total + jnp.sum(arr * arr)
         return jnp.sqrt(total)
+
+    # -- debugging -----------------------------------------------------------
+
+    def dump_debug(self, directory, values, with_jacobian: bool = False):
+        """Write residuals / variables (and optionally the dense Jacobian)
+        as text files for offline inspection — the reference's debug dumps
+        (problem.rs:1027-1084)."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        r = np.asarray(self.residual_vector(values))
+        np.savetxt(os.path.join(directory, "residuals.txt"), r)
+        with open(os.path.join(directory, "variables.txt"), "w") as f:
+            for name, v in sorted(self.values_dict(values).items()):
+                f.write(f"{name} {' '.join(f'{x:.17e}' for x in np.asarray(v))}\n")
+        if with_jacobian:
+            _, J = self.assemble_dense_jacobian(values)
+            np.savetxt(os.path.join(directory, "jacobian.txt"), np.asarray(J))
