@@ -215,6 +215,81 @@ def _synthetic_ba_impl(
     )
 
 
+def _synthetic_ba_large_impl(
+    n_cameras: int = 1778,
+    n_points: int = 993_923,
+    obs_per_camera: int = 2800,
+    focal: float = 800.0,
+    pixel_noise: float = 1.0,
+    point_init_noise: float = 0.05,
+    pose_init_noise: float = 0.01,
+    seed: int = 0,
+) -> BalDataset:
+    """Venice/ladybug-scale synthetic BA without the O(C*P) visibility test:
+    each camera observes a deterministic pseudo-random subset of points in
+    its frustum-ish region, built by index arithmetic. Observation count is
+    ~n_cameras * obs_per_camera (venice: 1778 * 2813 ~ 5.0M)."""
+    from ..manifolds import so3
+    from ..manifolds.utils import mat_to_quat, quat_to_mat
+
+    rng = np.random.default_rng(seed)
+    pts_true = rng.uniform(-2.0, 2.0, (n_points, 3)).astype(np.float64)
+
+    ang = 2 * np.pi * np.arange(n_cameras) / n_cameras
+    centers = 6.0 * np.stack([np.cos(ang), np.sin(ang), 0.25 * np.sin(3 * ang)], axis=1)
+    fwd = -centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    up = np.tile(np.array([0.0, 0.0, 1.0]), (n_cameras, 1))
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right, axis=1, keepdims=True)
+    up2 = np.cross(right, fwd)
+    Rwc = np.stack([right, -up2, -fwd], axis=2)
+    Rcw = np.transpose(Rwc, (0, 2, 1))
+    trans = -np.einsum("cij,cj->ci", Rcw, centers)
+    qs = np.asarray(mat_to_quat(jnp.asarray(Rcw)))
+    rots = np.asarray(so3.log(jnp.asarray(qs)))
+    R = np.asarray(quat_to_mat(jnp.asarray(qs)))
+
+    # Each camera samples obs_per_camera candidate points (deterministic
+    # stride + jitter); keep the in-front ones.
+    cam_idx_list, pt_idx_list, obs_list = [], [], []
+    for i in range(n_cameras):
+        crng = np.random.default_rng(seed * 1_000_003 + i)
+        cand = crng.integers(0, n_points, size=int(obs_per_camera * 1.3))
+        pc = pts_true[cand] @ R[i].T + trans[i]
+        z = pc[:, 2]
+        ok = z < -0.5
+        cand, pc, z = cand[ok], pc[ok], z[ok]
+        u = focal * (-pc[:, 0] / z)
+        v = focal * (-pc[:, 1] / z)
+        keep = (np.abs(u) < 500) & (np.abs(v) < 500)
+        take = min(obs_per_camera, int(keep.sum()))
+        sel = np.nonzero(keep)[0][:take]
+        cam_idx_list.append(np.full(take, i, dtype=np.int32))
+        pt_idx_list.append(cand[sel].astype(np.int32))
+        obs_list.append(
+            np.stack([u[sel], v[sel]], axis=1)
+            + crng.normal(0, pixel_noise, (take, 2))
+        )
+    cam_idx = np.concatenate(cam_idx_list)
+    pt_idx = np.concatenate(pt_idx_list)
+    obs = np.concatenate(obs_list)
+
+    pts0 = pts_true + rng.normal(0, point_init_noise, pts_true.shape)
+    rots0 = rots + rng.normal(0, pose_init_noise, rots.shape)
+    trans0 = trans + rng.normal(0, pose_init_noise, trans.shape)
+    return BalDataset(
+        rotations=rots0,
+        translations=trans0,
+        focals=np.full(n_cameras, focal),
+        k1=np.zeros(n_cameras),
+        k2=np.zeros(n_cameras),
+        points=pts0,
+        cam_indices=cam_idx,
+        point_indices=pt_idx,
+        observations=obs,
+    )
+
+
 def synthetic_pose_graph_2d(*args, **kw):
     with _cpu():
         return _synthetic_pose_graph_2d_impl(*args, **kw)
@@ -228,6 +303,11 @@ def synthetic_pose_graph_3d(*args, **kw):
 def synthetic_ba(*args, **kw):
     with _cpu():
         return _synthetic_ba_impl(*args, **kw)
+
+
+def synthetic_ba_large(*args, **kw):
+    with _cpu():
+        return _synthetic_ba_large_impl(*args, **kw)
 
 
 synthetic_pose_graph_2d.__doc__ = _synthetic_pose_graph_2d_impl.__doc__

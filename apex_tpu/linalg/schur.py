@@ -106,14 +106,30 @@ def inv3x3(A):
 def invert_landmark_blocks(Hpp):
     """Eigenvalue-conditioned regularized inverse of the landmark blocks
     (mirrors implicit_schur.rs:685-778 / explicit_schur.rs:377-442):
-    cond > 1e10 or min eig < 1e-12 -> add scaled identity before inverting."""
+    ill-conditioned or near-singular blocks get a scaled identity added
+    before inverting. Thresholds scale with the compute dtype (the
+    reference's 1e-12/1e10 are f64 constants; f32 needs ~sqrt of those)."""
+    f32 = Hpp.dtype == jnp.float32
+    eig_floor = 1e-5 if f32 else 1e-12
+    cond_max = 1e6 if f32 else 1e10
+    rel = 1e-5 if f32 else 1e-8
     eigs = sym3x3_eigvals(Hpp)
     emin = jnp.min(eigs, axis=-1)
     emax = jnp.max(eigs, axis=-1)
-    bad = (emin < 1e-12) | (emax > 1e10 * jnp.maximum(emin, 1e-300))
-    reg = jnp.where(bad, jnp.abs(emin) + 1e-8 * jnp.maximum(emax, 1.0) + 1e-12, 0.0)
+    bad = (emin < eig_floor) | (emax > cond_max * jnp.maximum(emin, eig_floor * 1e-3))
+    reg = jnp.where(bad, jnp.abs(emin) + rel * jnp.maximum(emax, 1.0) + eig_floor, 0.0)
     eye = jnp.eye(3, dtype=Hpp.dtype)
     return inv3x3(Hpp + reg[..., None, None] * eye)
+
+
+def landmark_inverse(Hpp):
+    """Dispatch: the Pallas lane-planes kernel on TPU for large batches,
+    the XLA formulation otherwise (identical semantics)."""
+    if jax.default_backend() == "tpu" and Hpp.shape[0] >= 4096:
+        from ..kernels import invert_landmark_blocks_pallas
+
+        return invert_landmark_blocks_pallas(Hpp, interpret=False)
+    return invert_landmark_blocks(Hpp)
 
 
 # ---------------------------------------------------------------------------
@@ -432,7 +448,7 @@ class SchurContext:
         cost)."""
         cp = self.cp
         Hcc, gc, Hpp, gp, Ws, cost = self.assemble(values, damping)
-        Hpp_inv = invert_landmark_blocks(Hpp)
+        Hpp_inv = landmark_inverse(Hpp)
 
         # reduced rhs: b = -gc + W Hpp^-1 gp
         u_g = jnp.einsum("kij,kj->ki", Hpp_inv, gp)

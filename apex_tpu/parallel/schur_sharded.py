@@ -187,7 +187,7 @@ def make_sharded_schur_step(
 
         Hcc = Hcc + damping * jnp.eye(Dc, dtype=dt)
         Hpp = Hpp + damping * jnp.eye(3, dtype=dt)
-        Hpp_inv = invert_landmark_blocks(Hpp)
+        Hpp_inv = invert_landmark_blocks(Hpp)  # shard-local; pallas kernel not used under shard_map yet
 
         def wt_x(x):
             """psum_k W_k^T x[cam block]: shard-local gather + one psum."""
