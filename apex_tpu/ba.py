@@ -69,7 +69,9 @@ def build_ba_problem(
         names = {"pose": pose_names, "landmark": pt_names, "intrinsics": intr_names}[slot]
         per_obs_idx = {"pose": cam_idx, "landmark": pt_idx, "intrinsics": cam_idx}[slot]
         if slot in optimize:
-            slot_keys.append([names[i] for i in per_obs_idx])
+            # indexed fast path: (base_names, idx) avoids 10^6-scale
+            # per-observation string lists at venice scale
+            slot_keys.append((names, per_obs_idx))
         else:
             vals = {
                 "pose": ds.camera_se3(),

@@ -139,19 +139,43 @@ class Problem:
                 f"{type(template).__name__} binds {len(manifolds)} slots, got "
                 f"{len(slot_keys)}"
             )
-        counts = {len(k) for k in slot_keys} | {v.shape[0] for v in data.values()}
+        # Each slot is either a per-factor name list, or the fast path
+        # (base_names, idx_array): idx indexes into base_names — avoids
+        # materializing millions of per-observation strings (venice scale).
+        norm_slots = []
+        counts = {v.shape[0] for v in data.values()}
+        for s, m in enumerate(manifolds):
+            sk = slot_keys[s]
+            if isinstance(sk, tuple) and len(sk) == 2 and not isinstance(sk[0], str):
+                base_names, idx = sk
+                idx = np.asarray(idx, dtype=np.int64)
+                if idx.min() < 0 or idx.max() >= len(base_names):
+                    raise IndexError(f"slot {s}: index out of range")
+                for k in base_names:
+                    if k not in self._manifold_of:
+                        raise KeyError(f"unknown variable {k!r} (add variables first)")
+                    if self._manifold_of[k] != m:
+                        raise ValueError(
+                            f"slot {s} expects {m}, variable {k!r} is "
+                            f"{self._manifold_of[k]}"
+                        )
+                norm_slots.append(("indexed", tuple(base_names), idx))
+                counts.add(idx.shape[0])
+            else:
+                for k in sk:
+                    if k not in self._manifold_of:
+                        raise KeyError(f"unknown variable {k!r} (add variables first)")
+                    if self._manifold_of[k] != m:
+                        raise ValueError(
+                            f"slot {s} expects {m}, variable {k!r} is "
+                            f"{self._manifold_of[k]}"
+                        )
+                norm_slots.append(("named", tuple(sk), None))
+                counts.add(len(sk))
         if len(counts) != 1:
             raise ValueError(f"inconsistent batch sizes: {counts}")
         count = counts.pop()
-        for s, m in enumerate(manifolds):
-            for k in slot_keys[s]:
-                if k not in self._manifold_of:
-                    raise KeyError(f"unknown variable {k!r} (add variables first)")
-                if self._manifold_of[k] != m:
-                    raise ValueError(
-                        f"slot {s} expects {m}, variable {k!r} is {self._manifold_of[k]}"
-                    )
-        self._bulk.append((tuple(tuple(k) for k in slot_keys), template, dict(data),
+        self._bulk.append((tuple(norm_slots), template, dict(data),
                            loss, loss_params, count))
 
     def add_variables_batch(self, names: Sequence[str], manifold, values: np.ndarray):
@@ -365,13 +389,22 @@ class Problem:
 
             idx_arrays, col_arrays, pool_ids, mask_arrays = [], [], [], []
             for s in range(len(manifolds)):
-                locs = [var_loc[k] for k in slot_keys[s]]
-                pids = {p for p, _ in locs}
+                kind, names_s, base_idx = slot_keys[s]
+                if kind == "indexed":
+                    # resolve the (small) base-name list once, then gather
+                    base_locs = np.asarray([var_loc[k] for k in names_s], dtype=np.int64)
+                    base_cols = np.asarray([col_of[k] for k in names_s], dtype=np.int32)
+                    pids = set(base_locs[:, 0].tolist())
+                    rows = base_locs[base_idx, 1].astype(np.int32)
+                    cols_s = base_cols[base_idx]
+                else:
+                    locs = [var_loc[k] for k in names_s]
+                    pids = {p for p, _ in locs}
+                    rows = np.asarray([r for _, r in locs], dtype=np.int32)
+                    cols_s = np.asarray([col_of[k] for k in names_s], dtype=np.int32)
                 if len(pids) != 1:
                     raise AssertionError("slot spans multiple pools")
                 pid = pids.pop()
-                rows = np.asarray([r for _, r in locs], dtype=np.int32)
-                cols_s = np.asarray([col_of[k] for k in slot_keys[s]], dtype=np.int32)
                 pool_ids.append(pid)
                 idx_arrays.append(jnp.asarray(rows))
                 col_arrays.append(jnp.asarray(cols_s))
