@@ -126,6 +126,20 @@ class LevenbergMarquardt:
 
             return solve_schur
 
+        if solver_type == "pcg":
+            from ..linalg.iterative import IterativeNormalSolver
+
+            it_solver = IterativeNormalSolver(
+                cp, max_iterations=cfg.pcg_max_iterations * 3,
+                tolerance=min(cfg.pcg_tolerance, 1e-8),
+            )
+
+            def solve_pcg(values, damping, iteration, jacobi_scale):
+                dx, g, cost = it_solver.solve(values, damping)
+                return dx, g, cost, jacobi_scale
+
+            return solve_pcg
+
         if solver_type == "dense_qr":
 
             def solve_qr_fn(values, damping, iteration, jacobi_scale):

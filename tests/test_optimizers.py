@@ -139,3 +139,24 @@ def test_iteration_stats_collected():
     assert res.iteration_stats is not None
     assert len(res.iteration_stats) == res.iterations
     assert res.iteration_stats[0].cost >= res.iteration_stats[-1].cost
+
+
+def test_pcg_solver_matches_dense():
+    """Matrix-free block-PCG normal-equation solver reaches the dense
+    optimum on a pose graph."""
+    g = synthetic.synthetic_pose_graph_3d(n_poses=60, rings=4, seed=20)
+    r_dense = apx.LevenbergMarquardt().optimize(g.to_problem())
+    cfg = apx.LevenbergMarquardtConfig(linear_solver_type="pcg",
+                                       pcg_max_iterations=300,
+                                       pcg_tolerance=1e-12)
+    r_pcg = apx.LevenbergMarquardt(cfg).optimize(g.to_problem())
+    assert r_pcg.converged, r_pcg.status
+    np.testing.assert_allclose(r_pcg.final_cost, r_dense.final_cost, rtol=1e-6)
+
+
+def test_pcg_solver_se2_with_loss():
+    g = synthetic.synthetic_pose_graph_2d(n_poses=80, trajectory="ring", seed=21)
+    cfg = apx.LevenbergMarquardtConfig(linear_solver_type="pcg")
+    res = apx.LevenbergMarquardt(cfg).optimize(g.to_problem(loss=apx.HuberLoss(1.0)))
+    assert res.converged
+    assert res.final_cost < 0.15 * res.initial_cost
