@@ -34,6 +34,16 @@ from .corrector import correct
 from .losses import Loss
 
 
+
+def _to_device(arr, dtype=None):
+    """numpy-side dtype conversion + single transfer. Converting via
+    jnp.asarray(x, dtype=...) compiles a device convert kernel per shape —
+    ruinous when the TPU compile service is slow; numpy conversion is free."""
+    arr = np.asarray(arr)
+    if dtype is not None and arr.dtype != np.dtype(dtype):
+        arr = arr.astype(dtype)
+    return jnp.asarray(arr)
+
 @dataclasses.dataclass
 class VarPool:
     manifold: object
@@ -289,11 +299,11 @@ class Problem:
                 VarPool(
                     manifold=G,
                     names=names,
-                    values0=jnp.asarray(vals, dtype=dtype),
-                    free_mask=jnp.asarray(free, dtype=dtype),
-                    lower=jnp.asarray(lb, dtype=dtype),
-                    upper=jnp.asarray(ub, dtype=dtype),
-                    cols=jnp.asarray(cols),
+                    values0=_to_device(vals, dtype),
+                    free_mask=_to_device(free, dtype),
+                    lower=_to_device(lb, dtype),
+                    upper=_to_device(ub, dtype),
+                    cols=_to_device(cols),
                 )
             )
 
@@ -324,17 +334,17 @@ class Problem:
 
             data_keys = sorted(f0.data().keys())
             data = {
-                k: jnp.asarray(
-                    np.stack([np.asarray(b[1].data()[k]) for b in blocks]), dtype=dtype
+                k: _to_device(
+                    np.stack([np.asarray(b[1].data()[k]) for b in blocks]), dtype
                 )
                 for k in data_keys
             }
-            loss_params = jnp.asarray(
+            loss_params = _to_device(
                 np.stack(
                     [np.asarray(b[2].params if b[2] is not None else (), dtype=np.float64)
                      for b in blocks]
                 ).reshape(count, nparams),
-                dtype=dtype,
+                dtype,
             )
             idx_arrays, col_arrays, pool_ids, mask_arrays = [], [], [], []
             for s in range(len(manifolds)):
@@ -345,12 +355,12 @@ class Problem:
                 cols_s = np.array([col_of[b[0][s]] for b in blocks], dtype=np.int32)
                 pid = pids.pop()
                 pool_ids.append(pid)
-                idx_arrays.append(jnp.asarray(rows))
-                col_arrays.append(jnp.asarray(cols_s))
+                idx_arrays.append(_to_device(rows))
+                col_arrays.append(_to_device(cols_s))
                 pool_free = np.asarray(pools[pid].free_mask)
                 slot_free = pool_free[rows]
                 mask_arrays.append(
-                    None if np.all(slot_free == 1.0) else jnp.asarray(slot_free, dtype=dtype)
+                    None if np.all(slot_free == 1.0) else _to_device(slot_free, dtype)
                 )
 
             kernel = f0.group_kernel() if hasattr(f0, "group_kernel") else type(f0).linearize
@@ -406,12 +416,12 @@ class Problem:
                     raise AssertionError("slot spans multiple pools")
                 pid = pids.pop()
                 pool_ids.append(pid)
-                idx_arrays.append(jnp.asarray(rows))
-                col_arrays.append(jnp.asarray(cols_s))
+                idx_arrays.append(_to_device(rows))
+                col_arrays.append(_to_device(cols_s))
                 pool_free = np.asarray(pools[pid].free_mask)
                 slot_free = pool_free[rows]
                 mask_arrays.append(
-                    None if np.all(slot_free == 1.0) else jnp.asarray(slot_free, dtype=dtype)
+                    None if np.all(slot_free == 1.0) else _to_device(slot_free, dtype)
                 )
 
             kernel = (
@@ -424,9 +434,9 @@ class Problem:
                     factor_cls=type(template),
                     kernel=kernel,
                     manifolds=manifolds,
-                    data={k: jnp.asarray(v, dtype=dtype) for k, v in bdata.items()},
+                    data={k: _to_device(v, dtype) for k, v in bdata.items()},
                     loss_kind=lkind,
-                    loss_params=jnp.asarray(lp, dtype=dtype),
+                    loss_params=_to_device(lp, dtype),
                     pool_ids=tuple(pool_ids),
                     indices=tuple(idx_arrays),
                     cols=tuple(col_arrays),

@@ -51,12 +51,17 @@ class BalDataset:
         return self.observations.shape[0]
 
     def camera_se3(self) -> np.ndarray:
-        """World-to-camera poses as SE3 storage [C, 7] (t, w-first quat)."""
-        import jax.numpy as jnp
-
-        from ..manifolds import so3
-
-        q = np.asarray(so3.exp(jnp.asarray(self.rotations)))
+        """World-to-camera poses as SE3 storage [C, 7] (t, w-first quat).
+        Pure numpy (host-side prep; keeps builders off the device)."""
+        theta = self.rotations
+        t2 = np.sum(theta * theta, axis=1)
+        small = t2 < 1e-10
+        safe = np.sqrt(np.where(small, 1.0, t2))
+        half = 0.5 * safe
+        k = np.where(small, 0.5 - t2 / 48.0, np.sin(half) / safe)
+        w = np.where(small, 1.0 - t2 / 8.0, np.cos(half))
+        q = np.concatenate([w[:, None], k[:, None] * theta], axis=1)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
         return np.concatenate([self.translations, q], axis=1)
 
     def intrinsics(self) -> np.ndarray:

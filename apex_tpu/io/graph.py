@@ -72,6 +72,7 @@ class Graph:
         """Information-weighted chi^2 = sum r^T Omega r, where
         r = Log(T_meas^{-1} (T_i^{-1} T_j)) — matches the reference CLI
         metric (bin/pose_graph_g2o.rs:92-162)."""
+        import jax
         import jax.numpy as jnp
 
         from ..manifolds import get as get_manifold
@@ -88,13 +89,16 @@ class Graph:
                 return values[name_fmt.format(vid)]
             return vertices[vid]
 
-        xi = jnp.asarray(np.stack([val(e.frm) for e in edges]))
-        xj = jnp.asarray(np.stack([val(e.to) for e in edges]))
-        meas = jnp.asarray(np.stack([e.measurement for e in edges]))
-        infos = jnp.asarray(np.stack([e.information for e in edges]))
-        rel = G.compose(G.inverse(xi), xj)
-        r = G.log(G.compose(G.inverse(meas), rel))
-        return float(jnp.einsum("ki,kij,kj->", r, infos, r))
+        # Host-side metric: keep it off the accelerator (tiny compute;
+        # device dispatch latency dominates through remote TPU tunnels).
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            xi = jnp.asarray(np.stack([val(e.frm) for e in edges]))
+            xj = jnp.asarray(np.stack([val(e.to) for e in edges]))
+            meas = jnp.asarray(np.stack([e.measurement for e in edges]))
+            infos = jnp.asarray(np.stack([e.information for e in edges]))
+            rel = G.compose(G.inverse(xi), xj)
+            r = G.log(G.compose(G.inverse(meas), rel))
+            return float(jnp.einsum("ki,kij,kj->", r, infos, r))
 
 
 def upper_tri_to_full(vals, n):
