@@ -50,9 +50,19 @@ def _kernel(h_ref, out_ref, *, eig_floor, cond_max, rel):
         + B02 * (B01 * B12 - B11 * B02)
     )
     r = jnp.clip(detB / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    e1 = q + 2.0 * p * jnp.cos(phi)
-    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    # cos(acos(r)/3) without acos (Mosaic has no acos lowering): solve the
+    # triple-angle cubic 4t^3 - 3t = r for t in [0.5, 1] by Newton from the
+    # near-exact init t0 = 0.5 + 0.5*sqrt((1+r)/2).
+    t = 0.5 + 0.5 * jnp.sqrt(jnp.maximum((1.0 + r) * 0.5, 0.0))
+    for _ in range(6):
+        ft = 4.0 * t * t * t - 3.0 * t - r
+        fp = jnp.maximum(12.0 * t * t - 3.0, 1e-3)
+        t = jnp.clip(t - ft / fp, 0.5, 1.0)
+    cos_phi = t
+    sin_phi = jnp.sqrt(jnp.maximum(1.0 - t * t, 0.0))  # phi in [0, pi/3]
+    e1 = q + 2.0 * p * cos_phi
+    # cos(phi + 2pi/3) = -cos_phi/2 - (sqrt(3)/2) sin_phi
+    e3 = q + 2.0 * p * (-0.5 * cos_phi - 0.8660254037844386 * sin_phi)
     e2 = 3.0 * q - e1 - e3
     emax = jnp.maximum(jnp.maximum(e1, e2), e3)
     emin = jnp.minimum(jnp.minimum(e1, e2), e3)
