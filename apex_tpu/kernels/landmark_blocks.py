@@ -122,11 +122,14 @@ def invert_landmark_blocks_pallas(Hpp, interpret: bool | None = None):
         pad = pad.at[0].set(1.0).at[3].set(1.0).at[5].set(1.0)  # identity blocks
         planes = jnp.concatenate([planes, pad], axis=1)
 
+    # index map: use i*0 for the leading block index so both components are
+    # i32 (a literal 0 traces as i64 under jax_enable_x64, and Mosaic
+    # rejects mixed-width index tuples).
     out = pl.pallas_call(
         functools.partial(_kernel, eig_floor=eig_floor, cond_max=cond_max, rel=rel),
         grid=(Pp // TILE,),
-        in_specs=[pl.BlockSpec((6, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((6, TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec((6, TILE), lambda i: (i * 0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((6, TILE), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((6, Pp), dt),
         interpret=interpret,
     )(planes)
