@@ -93,6 +93,8 @@ def _kernel(h_ref, out_ref, *, eig_floor, cond_max, rel):
     out_ref[3, :] = A22 * inv_det
     out_ref[4, :] = A23 * inv_det
     out_ref[5, :] = A33 * inv_det
+    out_ref[6, :] = jnp.zeros_like(a)
+    out_ref[7, :] = jnp.zeros_like(a)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -114,11 +116,13 @@ def invert_landmark_blocks_pallas(Hpp, interpret: bool | None = None):
         [
             Hpp[:, 0, 0], Hpp[:, 0, 1], Hpp[:, 0, 2],
             Hpp[:, 1, 1], Hpp[:, 1, 2], Hpp[:, 2, 2],
+            jnp.zeros_like(Hpp[:, 0, 0]),  # pad to 8 sublanes (f32 tile is
+            jnp.zeros_like(Hpp[:, 0, 0]),  # (8, 128); a 6-row block faults)
         ]
-    )  # [6, P]
+    )  # [8, P]
     Pp = -(-P // TILE) * TILE
     if Pp != P:
-        pad = jnp.zeros((6, Pp - P), dtype=dt)
+        pad = jnp.zeros((8, Pp - P), dtype=dt)
         pad = pad.at[0].set(1.0).at[3].set(1.0).at[5].set(1.0)  # identity blocks
         planes = jnp.concatenate([planes, pad], axis=1)
 
@@ -128,13 +132,13 @@ def invert_landmark_blocks_pallas(Hpp, interpret: bool | None = None):
     out = pl.pallas_call(
         functools.partial(_kernel, eig_floor=eig_floor, cond_max=cond_max, rel=rel),
         grid=(Pp // TILE,),
-        in_specs=[pl.BlockSpec((6, TILE), lambda i: (i * 0, i), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((6, TILE), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((6, Pp), dt),
+        in_specs=[pl.BlockSpec((8, TILE), lambda i: (i * 0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, TILE), lambda i: (i * 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, Pp), dt),
         interpret=interpret,
     )(planes)
 
-    out = out[:, :P]
+    out = out[:6, :P]
     i00, i01, i02, i11, i12, i22 = out
     row0 = jnp.stack([i00, i01, i02], axis=-1)
     row1 = jnp.stack([i01, i11, i12], axis=-1)

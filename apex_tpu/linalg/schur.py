@@ -125,7 +125,8 @@ def invert_landmark_blocks(Hpp):
 def landmark_inverse(Hpp):
     """Dispatch: the Pallas lane-planes kernel on TPU for large batches,
     the XLA formulation otherwise (identical semantics)."""
-    if jax.default_backend() == "tpu" and Hpp.shape[0] >= 4096:
+    if (jax.default_backend() == "tpu" and Hpp.shape[0] >= 4096
+            and Hpp.dtype == jnp.float32):
         from ..kernels import invert_landmark_blocks_pallas
 
         return invert_landmark_blocks_pallas(Hpp, interpret=False)
