@@ -124,8 +124,14 @@ def invert_landmark_blocks(Hpp):
 
 def landmark_inverse(Hpp):
     """Dispatch: the Pallas lane-planes kernel on TPU for large batches,
-    the XLA formulation otherwise (identical semantics)."""
-    if (jax.default_backend() == "tpu" and Hpp.shape[0] >= 4096
+    the XLA formulation otherwise (identical semantics). Opt-in via
+    APEX_TPU_PALLAS=1 while the kernel is being qualified on real
+    hardware (the remote TPU runtime crashed under it at 156k-block scale;
+    interpret-mode correctness is fully tested)."""
+    import os
+
+    if (os.environ.get("APEX_TPU_PALLAS", "0") == "1"
+            and jax.default_backend() == "tpu" and Hpp.shape[0] >= 4096
             and Hpp.dtype == jnp.float32):
         from ..kernels import invert_landmark_blocks_pallas
 
