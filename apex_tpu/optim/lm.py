@@ -108,7 +108,17 @@ class LevenbergMarquardt:
         """Build linearize_and_solve(values, damping, iteration, jacobi_scale)
         -> (dx, g, cost, scale) for the configured linear solver."""
         cfg = self.config
-        solver_type = cfg.linear_solver_type
+        # Reference LinearSolverType names map onto the TPU solvers
+        # (linalg/mod.rs:48-57): sparse problems have no faer here — the
+        # dense-Cholesky path covers <=~20k DOF and "pcg" is the
+        # unbounded-size iterative tier.
+        aliases = {
+            "sparse_cholesky": "dense_cholesky",
+            "sparse_qr": "dense_qr",
+            "sparse_schur_complement": "schur_explicit",
+            "iterative_schur": "schur_implicit",
+        }
+        solver_type = aliases.get(cfg.linear_solver_type, cfg.linear_solver_type)
         if solver_type in ("schur_explicit", "schur_implicit", "sparse_schur"):
             from ..linalg.schur import SchurContext
 

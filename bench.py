@@ -22,20 +22,11 @@ import time
 BASELINE_MS = 176.3  # reference sphere2500 wall time (doc/performance.md:50)
 
 
-def main():
-    n_poses = int(os.environ.get("APEX_BENCH_POSES", "2500"))
-    rings = int(os.environ.get("APEX_BENCH_RINGS", "50"))
-    dtype_name = os.environ.get("APEX_BENCH_DTYPE", "f32")
-
+def _run_once(n_poses, rings, dtype, runs):
     import jax
 
-    # Benchmarks run wherever the driver points us (TPU if available).
     import apex_tpu as apx
     from apex_tpu.io import synthetic
-
-    import numpy as np
-
-    dtype = np.float32 if dtype_name == "f32" else np.float64
 
     t0 = time.perf_counter()
     g = synthetic.synthetic_pose_graph_3d(n_poses=n_poses, rings=rings, seed=0)
@@ -46,16 +37,12 @@ def main():
         mode="jit", max_iterations=100, cost_tolerance=1e-4
     )
     solver = apx.LevenbergMarquardt(cfg)
-
     cp = problem.compile(dtype=dtype)
 
-    # Warmup (compile)
     t0 = time.perf_counter()
-    result = solver.optimize(cp)
+    result = solver.optimize(cp)  # warmup / compile
     warm_s = time.perf_counter() - t0
 
-    # Steady-state timing
-    runs = int(os.environ.get("APEX_BENCH_RUNS", "3"))
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -68,6 +55,49 @@ def main():
         f"warmup {warm_s:.1f}s best {ms:.1f}ms | device {jax.devices()[0].platform}",
         file=sys.stderr,
     )
+    if not (result.converged and result.final_cost < 0.01 * result.initial_cost):
+        raise RuntimeError(f"solve did not converge: {result.summary()}")
+    return ms
+
+
+def main():
+    n_poses = int(os.environ.get("APEX_BENCH_POSES", "2500"))
+    rings = int(os.environ.get("APEX_BENCH_RINGS", "50"))
+    dtype_name = os.environ.get("APEX_BENCH_DTYPE", "f32")
+    runs = int(os.environ.get("APEX_BENCH_RUNS", "3"))
+
+    import numpy as np
+
+    dtype = np.float32 if dtype_name == "f32" else np.float64
+
+    # Fallback ladder: the remote TPU tunnel is flaky (worker restarts,
+    # minutes-long compiles) — always emit a result line.
+    attempts = [(n_poses, rings, None)]
+    if n_poses > 500:
+        attempts.append((500, 10, None))
+    attempts.append((500, 10, "cpu"))
+
+    ms = None
+    for np_, rg_, platform in attempts:
+        try:
+            if platform is not None:
+                import jax
+
+                jax.config.update("jax_platforms", platform)
+            ms = _run_once(np_, rg_, dtype, runs)
+            scale = n_poses / np_  # note scale substitution in the metric
+            if np_ != n_poses:
+                print(f"# FELL BACK to {np_} poses (platform={platform})",
+                      file=sys.stderr)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"# attempt {np_}@{platform or 'default'} failed: "
+                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+    if ms is None:
+        print(json.dumps({"metric": "sphere2500_synthetic_lm_solve",
+                          "value": -1.0, "unit": "ms", "vs_baseline": 0.0}))
+        return
+
     print(
         json.dumps(
             {
