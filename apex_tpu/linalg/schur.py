@@ -204,20 +204,76 @@ class SchurContext:
                 f"{eliminate_prefix!r} on R3 manifolds)"
             )
 
-        # reduced column map for kept (camera-side) DOF
-        red_of_global = np.full(D, -1, dtype=np.int64)
-        red = 0
+        # ---- camera-side ENTITY structure --------------------------------
+        # H_cc is block-diagonal when camera-side variables only couple
+        # within small clusters (e.g. BA: pose_i <-> intr_i through shared
+        # observations). Union-find over camera-side variables linked by any
+        # factor binding two camera-side slots finds those clusters; the
+        # reduced space is laid out entity-major with uniform padding so
+        # H_cc is stored as [E, De, De] batched blocks (ladybug: 1 GB dense
+        # -> 0.5 MB of 9x9 blocks, and every PCG H_cc matvec is batched).
+        cam_vars = []  # (global_col, dof) in col order
         for pid, pool in enumerate(cp.pools):
             cols = np.asarray(pool.cols)
-            for i, n in enumerate(pool.names):
+            for i in range(len(pool.names)):
                 c = int(cols[i])
-                if c in lm_id_of_global:
-                    continue
-                red_of_global[c : c + pool.manifold.dof] = np.arange(red, red + pool.manifold.dof)
-                red += pool.manifold.dof
-        self.Dc = red
+                if c not in lm_id_of_global:
+                    cam_vars.append((c, pool.manifold.dof))
+        cam_vars.sort()
+        parent = {c: c for c, _ in cam_vars}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        for g in cp.groups:
+            cam_slots = [
+                s for s in range(len(g.manifolds))
+                if int(np.asarray(g.cols[s])[0]) not in lm_id_of_global
+            ]
+            for ai in range(len(cam_slots)):
+                for bi in range(ai + 1, len(cam_slots)):
+                    ca = np.asarray(g.cols[cam_slots[ai]])
+                    cb = np.asarray(g.cols[cam_slots[bi]])
+                    for pa, pb in set(zip(ca.tolist(), cb.tolist())):
+                        union(pa, pb)
+
+        dof_of = dict(cam_vars)
+        members = {}
+        for c, _ in cam_vars:
+            members.setdefault(find(c), []).append(c)
+        entities = [sorted(v) for v in members.values()]
+        entities.sort(key=lambda m: m[0])
+        De = max((sum(dof_of[c] for c in m) for m in entities), default=0)
+        E = len(entities)
+
+        red_of_global = np.full(D, -1, dtype=np.int64)
+        real_mask = np.zeros(E * De, dtype=np.float64)
+        for e, m in enumerate(entities):
+            off = 0
+            for c in m:
+                d = dof_of[c]
+                red_of_global[c : c + d] = e * De + off + np.arange(d)
+                real_mask[e * De + off : e * De + off + d] = 1.0
+                off += d
+        self.num_entities = E
+        self.entity_dof = De
+        self.Dc = E * De
+        self.real_mask = real_mask
         self.red_of_global = red_of_global
         self._lm_id_of_global = lm_id_of_global
+        # per-entity padding pins: diag 1.0 on padded dims keeps every
+        # factorization/solve non-singular with zero right-hand side there
+        self._pad_diag = jnp.asarray(
+            (1.0 - real_mask).reshape(E, De).astype(np.float64)
+        )
 
         # camera-side per-pool block info (for block preconditioners)
         self.cam_pools = []  # (pool_id, kept_rows [Nv], red_base [Nv], dof)
@@ -314,10 +370,12 @@ class SchurContext:
 
     def assemble(self, values, damping=None):
         """Linearize all groups and build (Hcc, gc, Hpp, gp, Ws, cost).
-        Ws[i] is the [K, ds, 3] coupling block array for self.couplings[i]."""
+        Hcc is batched entity blocks [E, De, De]; Ws[i] is the [K, ds, 3]
+        coupling block array for self.couplings[i]."""
         cp = self.cp
         dt = cp.dtype
-        Hcc = jnp.zeros((self.Dc, self.Dc), dtype=dt)
+        E, De = self.num_entities, self.entity_dof
+        Hcc = jnp.zeros((E, De, De), dtype=dt)
         gc = jnp.zeros((self.Dc,), dtype=dt)
         Hpp = jnp.zeros((self.num_landmarks, 3, 3), dtype=dt)
         gp = jnp.zeros((self.num_landmarks, 3), dtype=dt)
@@ -347,9 +405,16 @@ class SchurContext:
                     if kinds[s] == "cam" and kinds[t] == "cam":
                         bs = self.slot_red_base[gi][s]
                         bt = self.slot_red_base[gi][t]
-                        rows = (bs[:, None] + jnp.arange(ds, dtype=bs.dtype))[:, :, None]
-                        colsj = (bt[:, None] + jnp.arange(dtof, dtype=bt.dtype))[:, None, :]
+                        # both endpoints live in the same entity by
+                        # construction (union-find) — scatter into its block
+                        ent = bs // De
+                        ls = bs - ent * De
+                        lt = bt - (bt // De) * De
+                        rows = (ls[:, None] + jnp.arange(ds, dtype=bs.dtype))[:, :, None]
+                        colsj = (lt[:, None] + jnp.arange(dtof, dtype=bt.dtype))[:, None, :]
+                        eidx = jnp.broadcast_to(ent[:, None, None], Hst.shape)
                         Hcc = Hcc.at[
+                            eidx,
                             jnp.broadcast_to(rows, Hst.shape),
                             jnp.broadcast_to(colsj, Hst.shape),
                         ].add(Hst)
@@ -359,10 +424,29 @@ class SchurContext:
                         Ws[coupling_of[(gi, s)]] = Hst
                     # lm-cam is the transpose of cam-lm; skip.
 
+        # pin padded dims so every downstream factorization is non-singular
+        eye = jnp.eye(De, dtype=dt)
+        Hcc = Hcc + self._pad_diag.astype(dt)[:, :, None] * eye
         if damping is not None:
-            Hcc = Hcc + damping * jnp.eye(self.Dc, dtype=dt)
+            Hcc = Hcc + damping * eye
             Hpp = Hpp + damping * jnp.eye(3, dtype=dt)
         return Hcc, gc, Hpp, gp, Ws, cost
+
+    def _hcc_dense(self, Hcc_blocks):
+        """Materialize the [Dc, Dc] dense H_cc from entity blocks (explicit
+        variant only — small camera counts)."""
+        E, De = self.num_entities, self.entity_dof
+        dense = jnp.zeros((self.Dc, self.Dc), dtype=Hcc_blocks.dtype)
+        e = jnp.arange(E)[:, None, None]
+        i = jnp.arange(De)[None, :, None]
+        j = jnp.arange(De)[None, None, :]
+        rows = jnp.broadcast_to(e * De + i, (E, De, De))
+        cols = jnp.broadcast_to(e * De + j, (E, De, De))
+        return dense.at[rows, cols].add(Hcc_blocks)
+
+    def _hcc_matvec(self, Hcc_blocks, x):
+        E, De = self.num_entities, self.entity_dof
+        return jnp.einsum("eij,ej->ei", Hcc_blocks, x.reshape(E, De)).reshape(-1)
 
     # ------------------------------------------------------------------
 
@@ -384,33 +468,31 @@ class SchurContext:
             y = y.at[cols].add(sk)
         return y
 
-    def _schur_jacobi_blocks(self, Hcc, Hpp_inv, Ws):
-        """Per-camera-variable diagonal blocks of S, inverted (implicit_
-        schur.rs:456-575). Returns per-pool [Nv, d, d] inverse blocks."""
-        # accumulate -W Hpp^-1 W^T per camera variable
-        per_pool_acc = {}
-        for meta, W in zip(self.couplings, Ws):
-            Z = jnp.einsum(
-                "kij,kjl,kml->kim", W, Hpp_inv[meta.lm_ids], W
-            )  # [K, ds, ds]
-            key = meta.cam_pool
-            if key not in per_pool_acc:
-                nv = len(self.cp.pools[key].names)
-                per_pool_acc[key] = jnp.zeros((nv, meta.ds, meta.ds), dtype=Z.dtype)
-            per_pool_acc[key] = per_pool_acc[key].at[meta.cam_rows].add(Z)
+    def _entity_prec_inv(self, Hcc_blocks, Hpp_inv, Ws, schur_jacobi: bool):
+        """Entity-level block-diagonal preconditioner of S, inverted
+        (implicit_schur.rs:456-575 computes per-camera diag blocks of S;
+        here each block covers a full camera entity, e.g. pose+intrinsics,
+        which is a strictly stronger preconditioner)."""
+        E, De = self.num_entities, self.entity_dof
+        acc = Hcc_blocks
+        if schur_jacobi:
+            for meta, W in zip(self.couplings, Ws):
+                Z = jnp.einsum("kij,kjl,kml->kim", W, Hpp_inv[meta.lm_ids], W)
+                ent = meta.cam_base // De
+                loc = meta.cam_base - ent * De
+                rows = (loc[:, None] + jnp.arange(meta.ds, dtype=loc.dtype))[:, :, None]
+                cols = (loc[:, None] + jnp.arange(meta.ds, dtype=loc.dtype))[:, None, :]
+                eidx = jnp.broadcast_to(ent[:, None, None], Z.shape)
+                acc = acc.at[
+                    eidx,
+                    jnp.broadcast_to(rows, Z.shape),
+                    jnp.broadcast_to(cols, Z.shape),
+                ].add(-Z)
+        return jnp.linalg.inv(acc)
 
-        blocks = []
-        for pid, kept_rows, bases, d in self.cam_pools:
-            rows = (bases[:, None] + jnp.arange(d, dtype=bases.dtype))[:, :, None]
-            cols = (bases[:, None] + jnp.arange(d, dtype=bases.dtype))[:, None, :]
-            B = Hcc[
-                jnp.broadcast_to(rows, (bases.shape[0], d, d)),
-                jnp.broadcast_to(cols, (bases.shape[0], d, d)),
-            ]
-            if pid in per_pool_acc:
-                B = B - per_pool_acc[pid][kept_rows]
-            blocks.append((bases, d, jnp.linalg.inv(B)))
-        return blocks
+    def _entity_prec_apply(self, inv_blocks, x):
+        E, De = self.num_entities, self.entity_dof
+        return jnp.einsum("eij,ej->ei", inv_blocks, x.reshape(E, De)).reshape(-1)
 
     @staticmethod
     def _apply_blocks(blocks, x):
@@ -462,7 +544,7 @@ class SchurContext:
         b = -gc + self._w_u(Ws, u_g)
 
         if self.variant == "sparse":
-            S = Hcc
+            S = self._hcc_dense(Hcc)
             Ys = [
                 jnp.einsum("kij,kjl->kil", W, Hpp_inv[meta.lm_ids])
                 for meta, W in zip(self.couplings, Ws)
@@ -492,18 +574,16 @@ class SchurContext:
             def apply_S(x):
                 t = self._wt_x(Ws, x)
                 u = jnp.einsum("kij,kj->ki", Hpp_inv, t)
-                return Hcc @ x - self._w_u(Ws, u)
+                return self._hcc_matvec(Hcc, x) - self._w_u(Ws, u)
 
             if self.preconditioner == "none":
                 apply_M = lambda x: x  # noqa: E731
             else:
-                if self.preconditioner == "schur_jacobi":
-                    blocks = self._schur_jacobi_blocks(Hcc, Hpp_inv, Ws)
-                else:  # block_diagonal of Hcc
-                    blocks = self._schur_jacobi_blocks(
-                        Hcc, jnp.zeros_like(Hpp_inv), [jnp.zeros_like(W) for W in Ws]
-                    )
-                apply_M = lambda x: self._apply_blocks(blocks, x)  # noqa: E731
+                inv_blocks = self._entity_prec_inv(
+                    Hcc, Hpp_inv, Ws,
+                    schur_jacobi=(self.preconditioner == "schur_jacobi"),
+                )
+                apply_M = lambda x: self._entity_prec_apply(inv_blocks, x)  # noqa: E731
             dxc = self._pcg(apply_S, apply_M, b)
 
         # back-substitution: dxp = Hpp^-1 (-gp - W^T dxc)
