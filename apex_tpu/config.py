@@ -24,6 +24,16 @@ _X64_DISABLED = os.environ.get("APEX_TPU_NO_X64", "0") == "1"
 if not _X64_DISABLED:
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 inputs on the MXU; for a second-order solver
+# that silently destroys the normal equations (observed: f32 BA diverging
+# to NaN on TPU while bit-identical on CPU). Full-precision f32 matmuls are
+# the correctness baseline; hot paths can relax per-op where validated.
+if os.environ.get("APEX_TPU_MATMUL_PRECISION", "highest") != "default":
+    jax.config.update(
+        "jax_default_matmul_precision",
+        os.environ.get("APEX_TPU_MATMUL_PRECISION", "highest"),
+    )
+
 
 def default_dtype() -> jnp.dtype:
     """Storage/compute dtype for manifold values, residuals and Jacobians."""

@@ -333,6 +333,27 @@ class SchurContext:
                             )
                         )
 
+        # --- sorted-segment plans for the PCG hot loop ---------------------
+        # TPU scatter-add serializes on duplicate indices; pre-sorting the
+        # observation axis turns both W products into sorted segment-sums
+        # (the TPU-native form of the reference's visibility index,
+        # implicit_schur.rs:784-831).
+        self._seg_plans = []
+        for meta in self.couplings:
+            lm = np.asarray(meta.lm_ids)
+            perm_lm = np.argsort(lm, kind="stable")
+            base = np.asarray(meta.cam_base)
+            colflat = (base[:, None] + np.arange(meta.ds)).reshape(-1)
+            perm_cam = np.argsort(colflat, kind="stable")
+            self._seg_plans.append(
+                dict(
+                    perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
+                    lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
+                    perm_cam=jnp.asarray(perm_cam.astype(np.int32)),
+                    col_sorted=jnp.asarray(colflat[perm_cam].astype(np.int32)),
+                )
+            )
+
         # --- static pair enumeration for the explicit variant -------------
         self.pair_indices = None
         if variant == "sparse":
@@ -451,21 +472,27 @@ class SchurContext:
     # ------------------------------------------------------------------
 
     def _wt_x(self, Ws, xc):
-        """t_p = sum_k W_k^T xc[cam block k]  (gather + segment-sum)."""
+        """t_p = sum_k W_k^T xc[cam block k]  (gather + sorted segment-sum)."""
         t = jnp.zeros((self.num_landmarks, 3), dtype=xc.dtype)
-        for meta, W in zip(self.couplings, Ws):
+        for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
             cols = meta.cam_base[:, None] + jnp.arange(meta.ds, dtype=meta.cam_base.dtype)
             xb = xc[cols]  # [K, ds]
-            t = t.at[meta.lm_ids].add(jnp.einsum("kij,ki->kj", W, xb))
+            vals = jnp.einsum("kij,ki->kj", W, xb)
+            t = t + jax.ops.segment_sum(
+                vals[plan["perm_lm"]], plan["lm_sorted"],
+                num_segments=self.num_landmarks, indices_are_sorted=True,
+            )
         return t
 
     def _w_u(self, Ws, u):
-        """y += sum_k W_k u[lm_k] scattered at camera blocks."""
+        """y += sum_k W_k u[lm_k] via sorted segment-sum at camera columns."""
         y = jnp.zeros((self.Dc,), dtype=u.dtype)
-        for meta, W in zip(self.couplings, Ws):
-            sk = jnp.einsum("kij,kj->ki", W, u[meta.lm_ids])
-            cols = meta.cam_base[:, None] + jnp.arange(meta.ds, dtype=meta.cam_base.dtype)
-            y = y.at[cols].add(sk)
+        for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
+            sk = jnp.einsum("kij,kj->ki", W, u[meta.lm_ids]).reshape(-1)
+            y = y + jax.ops.segment_sum(
+                sk[plan["perm_cam"]], plan["col_sorted"],
+                num_segments=self.Dc, indices_are_sorted=True,
+            )
         return y
 
     def _entity_prec_inv(self, Hcc_blocks, Hpp_inv, Ws, schur_jacobi: bool):
