@@ -333,6 +333,60 @@ class SchurContext:
                             )
                         )
 
+        # --- sorted-segment plans for assembly ------------------------------
+        # every scatter-add in assemble() is replaced by a statically
+        # pre-sorted segment-sum (TPU scatter-add serializes on duplicates
+        # and large 3-index block scatters have crashed the runtime).
+        def _plan(dest_idx, num_segments):
+            dest_idx = np.asarray(dest_idx).reshape(-1)
+            perm = np.argsort(dest_idx, kind="stable")
+            return dict(
+                perm=jnp.asarray(perm.astype(np.int32)),
+                idx=jnp.asarray(dest_idx[perm].astype(np.int32)),
+                n=num_segments,
+            )
+
+        E, De = self.num_entities, self.entity_dof
+        self._asm_plans = []
+        for gi, g in enumerate(cp.groups):
+            kinds = self.slot_kind[gi]
+            plans = {"g": {}, "hpp": {}, "hcc": {}}
+            for s in range(len(g.manifolds)):
+                ds_ = g.manifolds[s].dof
+                if kinds[s] == "cam":
+                    base = red_of_global[np.asarray(g.cols[s])]
+                    dest = base[:, None] + np.arange(ds_)
+                    plans["g"][s] = _plan(dest, self.Dc)
+                else:
+                    lm = np.array([lm_id_of_global[c] for c in np.asarray(g.cols[s])])
+                    dest = lm[:, None] * 3 + np.arange(3)
+                    plans["g"][s] = _plan(dest, self.num_landmarks * 3)
+                for t in range(len(g.manifolds)):
+                    dt_ = g.manifolds[t].dof
+                    if kinds[s] == "cam" and kinds[t] == "cam":
+                        bs = red_of_global[np.asarray(g.cols[s])]
+                        bt = red_of_global[np.asarray(g.cols[t])]
+                        ent = bs // De
+                        ls = bs - ent * De
+                        lt = bt - (bt // De) * De
+                        dest = (
+                            ent[:, None, None] * (De * De)
+                            + (ls[:, None, None] + np.arange(ds_)[None, :, None]) * De
+                            + (lt[:, None, None] + np.arange(dt_)[None, None, :])
+                        )
+                        plans["hcc"][(s, t)] = _plan(dest, E * De * De)
+                    elif kinds[s] == "lm" and kinds[t] == "lm":
+                        lm = np.array(
+                            [lm_id_of_global[c] for c in np.asarray(g.cols[s])]
+                        )
+                        dest = (
+                            lm[:, None, None] * 9
+                            + np.arange(3)[None, :, None] * 3
+                            + np.arange(3)[None, None, :]
+                        )
+                        plans["hpp"][(s, t)] = _plan(dest, self.num_landmarks * 9)
+            self._asm_plans.append(plans)
+
         # --- sorted-segment plans for the PCG hot loop ---------------------
         # TPU scatter-add serializes on duplicate indices; pre-sorting the
         # observation axis turns both W products into sorted segment-sums
@@ -345,12 +399,23 @@ class SchurContext:
             base = np.asarray(meta.cam_base)
             colflat = (base[:, None] + np.arange(meta.ds)).reshape(-1)
             perm_cam = np.argsort(colflat, kind="stable")
+            # preconditioner Z blocks: dest within the entity's [De, De]
+            ent = base // De
+            loc = base - ent * De
+            zdest = (
+                ent[:, None, None] * (De * De)
+                + (loc[:, None, None] + np.arange(meta.ds)[None, :, None]) * De
+                + (loc[:, None, None] + np.arange(meta.ds)[None, None, :])
+            ).reshape(-1)
+            perm_z = np.argsort(zdest, kind="stable")
             self._seg_plans.append(
                 dict(
                     perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
                     lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
                     perm_cam=jnp.asarray(perm_cam.astype(np.int32)),
                     col_sorted=jnp.asarray(colflat[perm_cam].astype(np.int32)),
+                    perm_z=jnp.asarray(perm_z.astype(np.int32)),
+                    z_sorted=jnp.asarray(zdest[perm_z].astype(np.int32)),
                 )
             )
 
@@ -405,42 +470,33 @@ class SchurContext:
 
         coupling_of = {(m.group_idx, m.cam_slot): i for i, m in enumerate(self.couplings)}
 
+        def seg(plan, vals):
+            return jax.ops.segment_sum(
+                vals.reshape(-1)[plan["perm"]], plan["idx"],
+                num_segments=plan["n"], indices_are_sorted=True,
+            )
+
         for gi, g in enumerate(cp.groups):
             r, jacs = cp.group_linearize(values, g, True)
             cost = cost + 0.5 * jnp.sum(r * r)
             kinds = self.slot_kind[gi]
+            plans = self._asm_plans[gi]
             for s in range(len(g.manifolds)):
                 Js = jacs[s]
-                ds = g.manifolds[s].dof
                 gs = jnp.einsum("kdi,kd->ki", Js, r)
                 if kinds[s] == "cam":
-                    base = self.slot_red_base[gi][s]
-                    cols = base[:, None] + jnp.arange(ds, dtype=base.dtype)[None, :]
-                    gc = gc.at[cols].add(gs)
+                    gc = gc + seg(plans["g"][s], gs)
                 else:
-                    gp = gp.at[self.slot_lm_ids[gi][s]].add(gs)
+                    gp = gp + seg(plans["g"][s], gs).reshape(self.num_landmarks, 3)
                 for t in range(len(g.manifolds)):
                     Jt = jacs[t]
-                    dtof = g.manifolds[t].dof
                     Hst = jnp.einsum("kdi,kdj->kij", Js, Jt)
                     if kinds[s] == "cam" and kinds[t] == "cam":
-                        bs = self.slot_red_base[gi][s]
-                        bt = self.slot_red_base[gi][t]
-                        # both endpoints live in the same entity by
-                        # construction (union-find) — scatter into its block
-                        ent = bs // De
-                        ls = bs - ent * De
-                        lt = bt - (bt // De) * De
-                        rows = (ls[:, None] + jnp.arange(ds, dtype=bs.dtype))[:, :, None]
-                        colsj = (lt[:, None] + jnp.arange(dtof, dtype=bt.dtype))[:, None, :]
-                        eidx = jnp.broadcast_to(ent[:, None, None], Hst.shape)
-                        Hcc = Hcc.at[
-                            eidx,
-                            jnp.broadcast_to(rows, Hst.shape),
-                            jnp.broadcast_to(colsj, Hst.shape),
-                        ].add(Hst)
+                        Hcc = Hcc + seg(plans["hcc"][(s, t)], Hst).reshape(E, De, De)
                     elif kinds[s] == "lm" and kinds[t] == "lm":
-                        Hpp = Hpp.at[self.slot_lm_ids[gi][s]].add(Hst)
+                        Hpp = Hpp + seg(plans["hpp"][(s, t)], Hst).reshape(
+                            self.num_landmarks, 3, 3
+                        )
                     elif kinds[s] == "cam" and kinds[t] == "lm":
                         Ws[coupling_of[(gi, s)]] = Hst
                     # lm-cam is the transpose of cam-lm; skip.
@@ -503,18 +559,12 @@ class SchurContext:
         E, De = self.num_entities, self.entity_dof
         acc = Hcc_blocks
         if schur_jacobi:
-            for meta, W in zip(self.couplings, Ws):
+            for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
                 Z = jnp.einsum("kij,kjl,kml->kim", W, Hpp_inv[meta.lm_ids], W)
-                ent = meta.cam_base // De
-                loc = meta.cam_base - ent * De
-                rows = (loc[:, None] + jnp.arange(meta.ds, dtype=loc.dtype))[:, :, None]
-                cols = (loc[:, None] + jnp.arange(meta.ds, dtype=loc.dtype))[:, None, :]
-                eidx = jnp.broadcast_to(ent[:, None, None], Z.shape)
-                acc = acc.at[
-                    eidx,
-                    jnp.broadcast_to(rows, Z.shape),
-                    jnp.broadcast_to(cols, Z.shape),
-                ].add(-Z)
+                acc = acc - jax.ops.segment_sum(
+                    Z.reshape(-1)[plan["perm_z"]], plan["z_sorted"],
+                    num_segments=E * De * De, indices_are_sorted=True,
+                ).reshape(E, De, De)
         return jnp.linalg.inv(acc)
 
     def _entity_prec_apply(self, inv_blocks, x):
