@@ -22,6 +22,7 @@ All functions are batched: ``r`` has shape (..., d), ``J`` (..., d, n).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from ..linalg.smallmm import es as _es
 
 from .losses import evaluate
 
@@ -48,7 +49,7 @@ def correct(kind: str, params, r, J=None):
     r_tilde = residual_scaling[..., None] * r
     if J is None:
         return r_tilde, None
-    rTJ = jnp.einsum("...d,...dn->...n", r, J)
+    rTJ = _es("...d,...dn->...n", r, J)
     J_tilde = sqrt_rho1[..., None, None] * (
         J - alpha_sq_norm[..., None, None] * r[..., :, None] * rTJ[..., None, :]
     )

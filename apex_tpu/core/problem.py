@@ -27,6 +27,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from ..linalg.smallmm import es as _es
 
 from ..factors.base import Factor
 from ..manifolds import get as get_manifold
@@ -538,14 +539,14 @@ class CompiledProblem:
             Js = jacs[s]
             dof_s = group.manifolds[s].dof
             cs = group.cols[s]
-            gs = jnp.einsum("kdi,kd->ki", Js, r)
+            gs = _es("kdi,kd->ki", Js, r)
             gcols = cs[:, None] + jnp.arange(dof_s, dtype=cs.dtype)[None, :]
             gvec = gvec.at[gcols].add(gs)
             for t in range(nslots):
                 Jt = jacs[t]
                 dof_t = group.manifolds[t].dof
                 ct = group.cols[t]
-                Hst = jnp.einsum("kdi,kdj->kij", Js, Jt)
+                Hst = _es("kdi,kdj->kij", Js, Jt)
                 rows = (cs[:, None] + jnp.arange(dof_s, dtype=cs.dtype)[None, :])[
                     :, :, None
                 ]

@@ -18,6 +18,7 @@ from typing import Dict, List
 
 import jax.numpy as jnp
 import numpy as np
+from ..linalg.smallmm import es as _es
 
 from ..manifolds import get as get_manifold
 from .base import Factor
@@ -65,7 +66,7 @@ class BetweenFactor(Factor):
         # Step 3: r = Log(e)
         r, jr_e = G.log_j(e)
 
-        chain = jnp.einsum("...ij,...jk->...ik", jr_e, je_d)
-        j_xi = jnp.einsum("...ij,...jk->...ik", chain, jd_xi)
-        j_xj = jnp.einsum("...ij,...jk->...ik", chain, jd_xj)
+        chain = _es("...ij,...jk->...ik", jr_e, je_d)
+        j_xi = _es("...ij,...jk->...ik", chain, jd_xi)
+        j_xj = _es("...ij,...jk->...ik", chain, jd_xj)
         return r, [j_xi, j_xj]

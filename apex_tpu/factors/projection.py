@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
+from ..linalg.smallmm import es as _es
 
 from ..cameras import CameraModel
 from ..cameras import get as get_camera
@@ -132,7 +133,7 @@ class ProjectionFactor(Factor):
             pose, p_w, intr = by_slot["pose"], by_slot["landmark"], by_slot["intrinsics"]
 
             R = quat_to_mat(pose[..., 3:])
-            p_cam = jnp.einsum("...ij,...j->...i", R, p_w) + pose[..., :3]
+            p_cam = _es("...ij,...j->...i", R, p_w) + pose[..., :3]
             uv, valid = camera.project(intr, p_cam)
             r = (uv - data["obs"]) * valid[..., None]
             if not compute_jacobian:
@@ -145,11 +146,11 @@ class ProjectionFactor(Factor):
                 if slot == "pose":
                     # ∂p_cam/∂xi = [R | -R [p_w]x] (right perturbation)
                     dp = jnp.concatenate(
-                        [R, -jnp.einsum("...ij,...jk->...ik", R, skew(p_w))], axis=-1
+                        [R, -_es("...ij,...jk->...ik", R, skew(p_w))], axis=-1
                     )
-                    jacs.append(jnp.einsum("...ij,...jk->...ik", J_pc, dp) * vm)
+                    jacs.append(_es("...ij,...jk->...ik", J_pc, dp) * vm)
                 elif slot == "landmark":
-                    jacs.append(jnp.einsum("...ij,...jk->...ik", J_pc, R) * vm)
+                    jacs.append(_es("...ij,...jk->...ik", J_pc, R) * vm)
                 else:
                     jacs.append(J_intr * vm)
             return r, jacs

@@ -23,6 +23,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .smallmm import es as _es, vdot as _vdot
 
 from ..core.problem import CompiledProblem
 
@@ -55,7 +56,7 @@ class IterativeNormalSolver:
             for s, Js in enumerate(jacs):
                 ds = grp.manifolds[s].dof
                 cols = grp.cols[s][:, None] + jnp.arange(ds, dtype=grp.cols[s].dtype)
-                g = g.at[cols].add(jnp.einsum("kdi,kd->ki", Js, r))
+                g = g.at[cols].add(_es("kdi,kd->ki", Js, r))
             blocks.append((grp, jacs))
         return blocks, g, cost
 
@@ -72,11 +73,11 @@ class IterativeNormalSolver:
                 cols = grp.cols[s][:, None] + jnp.arange(ds, dtype=grp.cols[s].dtype)
                 xk = x[cols]
                 xs.append((cols, xk))
-                term = jnp.einsum("kdi,ki->kd", Js, xk)
+                term = _es("kdi,ki->kd", Js, xk)
                 v = term if v is None else v + term
             for s, Js in enumerate(jacs):
                 cols, _ = xs[s]
-                y = y.at[cols].add(jnp.einsum("kdi,kd->ki", Js, v))
+                y = y.at[cols].add(_es("kdi,kd->ki", Js, v))
         return y
 
     def _block_diag_inv(self, blocks, damping):
@@ -92,7 +93,7 @@ class IterativeNormalSolver:
         for grp, jacs in blocks:
             for s, Js in enumerate(jacs):
                 pid = grp.pool_ids[s]
-                Hss = jnp.einsum("kdi,kdj->kij", Js, Js)
+                Hss = _es("kdi,kdj->kij", Js, Js)
                 pool_acc[pid] = pool_acc[pid].at[grp.indices[s]].add(Hss)
         return [jnp.linalg.inv(acc) for acc in pool_acc]
 
@@ -101,7 +102,7 @@ class IterativeNormalSolver:
         y = jnp.zeros_like(x)
         for (cols_base, d), inv in zip(self.pools_meta, inv_blocks):
             cols = cols_base[:, None] + jnp.arange(d, dtype=cols_base.dtype)
-            y = y.at[cols].add(jnp.einsum("kij,kj->ki", inv, x[cols]))
+            y = y.at[cols].add(_es("kij,kj->ki", inv, x[cols]))
         return y
 
     # ------------------------------------------------------------------
@@ -111,29 +112,29 @@ class IterativeNormalSolver:
         blocks, g, cost = self._linearize_all(values)
         inv_blocks = self._block_diag_inv(blocks, damping)
         b = -g
-        tol2 = self.tolerance**2 * jnp.dot(b, b)
+        tol2 = self.tolerance**2 * _vdot(b, b)
 
         def apply_S(x):
             return self._hx(blocks, x, damping)
 
         def cond(state):
             x, r, z, p, rz, it = state
-            return (jnp.dot(r, r) > tol2) & (it < self.max_iterations)
+            return (_vdot(r, r) > tol2) & (it < self.max_iterations)
 
         def body(state):
             x, r, z, p, rz, it = state
             Sp = apply_S(p)
-            denom = jnp.dot(p, Sp)
+            denom = _vdot(p, Sp)
             alpha = rz / jnp.where(denom == 0, 1.0, denom)
             x = x + alpha * p
             r = r - alpha * Sp
             z = self._apply_prec(inv_blocks, r)
-            rz_new = jnp.dot(r, z)
+            rz_new = _vdot(r, z)
             beta = rz_new / jnp.where(rz == 0, 1.0, rz)
             return (x, r, z, p * beta + z, rz_new, it + 1)
 
         x0 = jnp.zeros_like(b)
         z0 = self._apply_prec(inv_blocks, b)
-        state = (x0, b, z0, z0, jnp.dot(b, z0), jnp.asarray(0, jnp.int32))
+        state = (x0, b, z0, z0, _vdot(b, z0), jnp.asarray(0, jnp.int32))
         x, *_ = jax.lax.while_loop(cond, body, state)
         return x, g, cost

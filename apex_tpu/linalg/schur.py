@@ -37,6 +37,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from .smallmm import es as _es, vdot as _vdot
 
 from ..core.problem import CompiledProblem
 from .dense import solve_cholesky_with_retry
@@ -483,14 +484,14 @@ class SchurContext:
             plans = self._asm_plans[gi]
             for s in range(len(g.manifolds)):
                 Js = jacs[s]
-                gs = jnp.einsum("kdi,kd->ki", Js, r)
+                gs = _es("kdi,kd->ki", Js, r)
                 if kinds[s] == "cam":
                     gc = gc + seg(plans["g"][s], gs)
                 else:
                     gp = gp + seg(plans["g"][s], gs).reshape(self.num_landmarks, 3)
                 for t in range(len(g.manifolds)):
                     Jt = jacs[t]
-                    Hst = jnp.einsum("kdi,kdj->kij", Js, Jt)
+                    Hst = _es("kdi,kdj->kij", Js, Jt)
                     if kinds[s] == "cam" and kinds[t] == "cam":
                         Hcc = Hcc + seg(plans["hcc"][(s, t)], Hst).reshape(E, De, De)
                     elif kinds[s] == "lm" and kinds[t] == "lm":
@@ -523,7 +524,7 @@ class SchurContext:
 
     def _hcc_matvec(self, Hcc_blocks, x):
         E, De = self.num_entities, self.entity_dof
-        return jnp.einsum("eij,ej->ei", Hcc_blocks, x.reshape(E, De)).reshape(-1)
+        return _es("eij,ej->ei", Hcc_blocks, x.reshape(E, De)).reshape(-1)
 
     # ------------------------------------------------------------------
 
@@ -533,7 +534,7 @@ class SchurContext:
         for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
             cols = meta.cam_base[:, None] + jnp.arange(meta.ds, dtype=meta.cam_base.dtype)
             xb = xc[cols]  # [K, ds]
-            vals = jnp.einsum("kij,ki->kj", W, xb)
+            vals = _es("kij,ki->kj", W, xb)
             t = t + jax.ops.segment_sum(
                 vals[plan["perm_lm"]], plan["lm_sorted"],
                 num_segments=self.num_landmarks, indices_are_sorted=True,
@@ -544,7 +545,7 @@ class SchurContext:
         """y += sum_k W_k u[lm_k] via sorted segment-sum at camera columns."""
         y = jnp.zeros((self.Dc,), dtype=u.dtype)
         for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
-            sk = jnp.einsum("kij,kj->ki", W, u[meta.lm_ids]).reshape(-1)
+            sk = _es("kij,kj->ki", W, u[meta.lm_ids]).reshape(-1)
             y = y + jax.ops.segment_sum(
                 sk[plan["perm_cam"]], plan["col_sorted"],
                 num_segments=self.Dc, indices_are_sorted=True,
@@ -560,7 +561,7 @@ class SchurContext:
         acc = Hcc_blocks
         if schur_jacobi:
             for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
-                Z = jnp.einsum("kij,kjl,kml->kim", W, Hpp_inv[meta.lm_ids], W)
+                Z = _es("kil,kml->kim", _es("kij,kjl->kil", W, Hpp_inv[meta.lm_ids]), W)
                 acc = acc - jax.ops.segment_sum(
                     Z.reshape(-1)[plan["perm_z"]], plan["z_sorted"],
                     num_segments=E * De * De, indices_are_sorted=True,
@@ -569,41 +570,41 @@ class SchurContext:
 
     def _entity_prec_apply(self, inv_blocks, x):
         E, De = self.num_entities, self.entity_dof
-        return jnp.einsum("eij,ej->ei", inv_blocks, x.reshape(E, De)).reshape(-1)
+        return _es("eij,ej->ei", inv_blocks, x.reshape(E, De)).reshape(-1)
 
     @staticmethod
     def _apply_blocks(blocks, x):
         y = jnp.zeros_like(x)
         for bases, d, inv in blocks:
             cols = bases[:, None] + jnp.arange(d, dtype=bases.dtype)
-            y = y.at[cols].add(jnp.einsum("kij,kj->ki", inv, x[cols]))
+            y = y.at[cols].add(_es("kij,kj->ki", inv, x[cols]))
         return y
 
     def _pcg(self, apply_S, apply_M, b):
         """Block-preconditioned conjugate gradients (implicit_schur.rs:
         577-679), in the accumulation dtype."""
-        tol2 = self.pcg_tolerance**2 * jnp.dot(b, b)
+        tol2 = self.pcg_tolerance**2 * _vdot(b, b)
 
         def cond(state):
             x, r, z, p, rz, it = state
-            return (jnp.dot(r, r) > tol2) & (it < self.pcg_max_iterations)
+            return (_vdot(r, r) > tol2) & (it < self.pcg_max_iterations)
 
         def body(state):
             x, r, z, p, rz, it = state
             Sp = apply_S(p)
-            denom = jnp.dot(p, Sp)
+            denom = _vdot(p, Sp)
             alpha = rz / jnp.where(denom == 0, 1.0, denom)
             x = x + alpha * p
             r = r - alpha * Sp
             z = apply_M(r)
-            rz_new = jnp.dot(r, z)
+            rz_new = _vdot(r, z)
             beta = rz_new / jnp.where(rz == 0, 1.0, rz)
             p = z + beta * p
             return (x, r, z, p, rz_new, it + 1)
 
         x0 = jnp.zeros_like(b)
         z0 = apply_M(b)
-        state = (x0, b, z0, z0, jnp.dot(b, z0), jnp.asarray(0, jnp.int32))
+        state = (x0, b, z0, z0, _vdot(b, z0), jnp.asarray(0, jnp.int32))
         x, r, *_ = jax.lax.while_loop(cond, body, state)
         return x
 
@@ -617,13 +618,13 @@ class SchurContext:
         Hpp_inv = landmark_inverse(Hpp)
 
         # reduced rhs: b = -gc + W Hpp^-1 gp
-        u_g = jnp.einsum("kij,kj->ki", Hpp_inv, gp)
+        u_g = _es("kij,kj->ki", Hpp_inv, gp)
         b = -gc + self._w_u(Ws, u_g)
 
         if self.variant == "sparse":
             S = self._hcc_dense(Hcc)
             Ys = [
-                jnp.einsum("kij,kjl->kil", W, Hpp_inv[meta.lm_ids])
+                _es("kij,kjl->kil", W, Hpp_inv[meta.lm_ids])
                 for meta, W in zip(self.couplings, Ws)
             ]
             pi = 0
@@ -633,7 +634,7 @@ class SchurContext:
                     pi += 1
                     if ia.shape[0] == 0:
                         continue
-                    contrib = jnp.einsum("pik,pjk->pij", Ys[a][ia], Ws[bidx][ib])
+                    contrib = _es("pik,pjk->pij", Ys[a][ia], Ws[bidx][ib])
                     rows = (
                         meta_a.cam_base[ia][:, None]
                         + jnp.arange(meta_a.ds, dtype=meta_a.cam_base.dtype)
@@ -650,7 +651,7 @@ class SchurContext:
         else:
             def apply_S(x):
                 t = self._wt_x(Ws, x)
-                u = jnp.einsum("kij,kj->ki", Hpp_inv, t)
+                u = _es("kij,kj->ki", Hpp_inv, t)
                 return self._hcc_matvec(Hcc, x) - self._w_u(Ws, u)
 
             if self.preconditioner == "none":
@@ -665,7 +666,7 @@ class SchurContext:
 
         # back-substitution: dxp = Hpp^-1 (-gp - W^T dxc)
         t = self._wt_x(Ws, dxc)
-        dxp = jnp.einsum("kij,kj->ki", Hpp_inv, -gp - t)
+        dxp = _es("kij,kj->ki", Hpp_inv, -gp - t)
 
         # scatter back to the global tangent layout
         D = cp.total_dof

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..linalg.smallmm import es as _es
 
 from . import so3
 from .base import LieGroup
@@ -57,24 +58,24 @@ def exp(tau):
     rho, theta, nu = tau[..., 0:3], tau[..., 3:6], tau[..., 6:9]
     V = so3.ljac(theta)
     return _pack(
-        jnp.einsum("...ij,...j->...i", V, rho),
+        _es("...ij,...j->...i", V, rho),
         so3.exp(theta),
-        jnp.einsum("...ij,...j->...i", V, nu),
+        _es("...ij,...j->...i", V, nu),
     )
 
 
 def log(x):
     theta = so3.log(_q(x))
     Vinv = so3.ljac_inv(theta)
-    rho = jnp.einsum("...ij,...j->...i", Vinv, _t(x))
-    nu = jnp.einsum("...ij,...j->...i", Vinv, _v(x))
+    rho = _es("...ij,...j->...i", Vinv, _t(x))
+    nu = _es("...ij,...j->...i", Vinv, _v(x))
     return jnp.concatenate([rho, theta, nu], axis=-1)
 
 
 def adjoint(x):
     R = quat_to_mat(_q(x))
-    tR = jnp.einsum("...ij,...jk->...ik", skew(_t(x)), R)
-    vR = jnp.einsum("...ij,...jk->...ik", skew(_v(x)), R)
+    tR = _es("...ij,...jk->...ik", skew(_t(x)), R)
+    vR = _es("...ij,...jk->...ik", skew(_v(x)), R)
     Z = jnp.zeros_like(R)
     rows = [
         jnp.concatenate([R, tR, Z], axis=-1),
@@ -123,11 +124,11 @@ def _inv_blocks(J):
     Di = jnp.linalg.inv(D)
     Z = jnp.zeros_like(D)
     top = jnp.concatenate(
-        [Di, -jnp.einsum("...ij,...jk,...kl->...il", Di, A, Di), Z], axis=-1
+        [Di, -_es("...ik,...kl->...il", _es("...ij,...jk->...ik", Di, A), Di), Z], axis=-1
     )
     mid = jnp.concatenate([Z, Di, Z], axis=-1)
     bot = jnp.concatenate(
-        [Z, -jnp.einsum("...ij,...jk,...kl->...il", Di, C, Di), Di], axis=-1
+        [Z, -_es("...ik,...kl->...il", _es("...ij,...jk->...ik", Di, C), Di), Di], axis=-1
     )
     return jnp.concatenate([top, mid, bot], axis=-2)
 

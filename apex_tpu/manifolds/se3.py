@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..linalg.smallmm import es as _es
 
 from . import so3
 from .base import LieGroup
@@ -57,7 +58,7 @@ def exp(tau):
     """Exp([rho, theta]) = (V(theta) rho, Exp_SO3(theta)), V = Jl_SO3."""
     rho, theta = tau[..., :3], tau[..., 3:]
     V = so3.ljac(theta)
-    t = jnp.einsum("...ij,...j->...i", V, rho)
+    t = _es("...ij,...j->...i", V, rho)
     return _pack(t, so3.exp(theta))
 
 
@@ -65,14 +66,14 @@ def log(x):
     """Log(x) = [V^{-1}(theta) t, theta]."""
     theta = so3.log(_q(x))
     Vinv = so3.ljac_inv(theta)
-    rho = jnp.einsum("...ij,...j->...i", Vinv, _t(x))
+    rho = _es("...ij,...j->...i", Vinv, _t(x))
     return jnp.concatenate([rho, theta], axis=-1)
 
 
 def adjoint(x):
     """Ad = [[R, [t]x R], [0, R]] for tangent [rho, theta]."""
     R = quat_to_mat(_q(x))
-    tR = jnp.einsum("...ij,...jk->...ik", skew(_t(x)), R)
+    tR = _es("...ij,...jk->...ik", skew(_t(x)), R)
     Z = jnp.zeros_like(R)
     top = jnp.concatenate([R, tR], axis=-1)
     bot = jnp.concatenate([Z, R], axis=-1)
@@ -86,8 +87,8 @@ def act(x, v):
 def act_j(x, v):
     """p' = R v + t; J_x = [R | -R [v]x] (right pert, [rho,theta]); J_v = R."""
     R = quat_to_mat(_q(x))
-    p = jnp.einsum("...ij,...j->...i", R, v) + _t(x)
-    jx = jnp.concatenate([R, -jnp.einsum("...ij,...jk->...ik", R, skew(v))], axis=-1)
+    p = _es("...ij,...j->...i", R, v) + _t(x)
+    jx = jnp.concatenate([R, -_es("...ij,...jk->...ik", R, skew(v))], axis=-1)
     return p, jx, R
 
 
@@ -96,13 +97,13 @@ def _Q_left(rho, theta):
     theta2 = jnp.sum(theta * theta, axis=-1)[..., None, None]
     P = skew(rho)
     T = skew(theta)
-    TP = jnp.einsum("...ij,...jk->...ik", T, P)
-    PT = jnp.einsum("...ij,...jk->...ik", P, T)
-    TPT = jnp.einsum("...ij,...jk->...ik", TP, T)
-    TTP = jnp.einsum("...ij,...jk->...ik", T, TP)
-    PTT = jnp.einsum("...ij,...jk->...ik", PT, T)
-    TPTT = jnp.einsum("...ij,...jk->...ik", TPT, T)
-    TTPT = jnp.einsum("...ij,...jk->...ik", TTP, T)
+    TP = _es("...ij,...jk->...ik", T, P)
+    PT = _es("...ij,...jk->...ik", P, T)
+    TPT = _es("...ij,...jk->...ik", TP, T)
+    TTP = _es("...ij,...jk->...ik", T, TP)
+    PTT = _es("...ij,...jk->...ik", PT, T)
+    TPTT = _es("...ij,...jk->...ik", TPT, T)
+    TTPT = _es("...ij,...jk->...ik", TTP, T)
     c1 = q_coeff_1(theta2)  # (t - sin t)/t^3
     c2 = q_coeff_2(theta2)  # (t^2/2 + cos t - 1)/t^4
     c3 = q_coeff_3(theta2)  # (t - sin t - t^3/6)/t^5
@@ -135,7 +136,7 @@ def ljac_inv(tau):
     rho, theta = tau[..., :3], tau[..., 3:]
     Jli = so3.ljac_inv(theta)
     Q = _Q_left(rho, theta)
-    top_right = -jnp.einsum("...ij,...jk,...kl->...il", Jli, Q, Jli)
+    top_right = -_es("...ik,...kl->...il", _es("...ij,...jk->...ik", Jli, Q), Jli)
     Z = jnp.zeros_like(Jli)
     top = jnp.concatenate([Jli, top_right], axis=-1)
     bot = jnp.concatenate([Z, Jli], axis=-1)

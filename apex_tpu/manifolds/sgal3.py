@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..linalg.smallmm import es as _es
 
 from . import so3
 from .base import LieGroup, with_autodiff_jacobians
@@ -71,9 +72,9 @@ def exp(tau):
     rho, nu, theta, s = tau[..., 0:3], tau[..., 3:6], tau[..., 6:9], tau[..., 9]
     V = so3.ljac(theta)
     return _pack(
-        jnp.einsum("...ij,...j->...i", V, rho),
+        _es("...ij,...j->...i", V, rho),
         so3.exp(theta),
-        jnp.einsum("...ij,...j->...i", V, nu),
+        _es("...ij,...j->...i", V, nu),
         s,
     )
 
@@ -81,8 +82,8 @@ def exp(tau):
 def log(x):
     theta = so3.log(_q(x))
     Vinv = so3.ljac_inv(theta)
-    rho = jnp.einsum("...ij,...j->...i", Vinv, _t(x))
-    nu = jnp.einsum("...ij,...j->...i", Vinv, _v(x))
+    rho = _es("...ij,...j->...i", Vinv, _t(x))
+    nu = _es("...ij,...j->...i", Vinv, _v(x))
     return jnp.concatenate([rho, nu, theta, _s(x)[..., None]], axis=-1)
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..linalg.smallmm import es as _es
 
 from . import so3
 from .base import LieGroup, with_autodiff_jacobians
@@ -67,7 +68,7 @@ def _v_matrix(theta, sigma):
     eps = small_angle_threshold(theta.dtype)
     t2 = jnp.sum(theta * theta, axis=-1)
     th = skew(theta)
-    th2 = jnp.einsum("...ij,...jk->...ik", th, th)
+    th2 = _es("...ij,...jk->...ik", th, th)
     eye = jnp.eye(3, dtype=theta.dtype)
 
     small_t = t2 < eps
@@ -116,7 +117,7 @@ def exp(tau):
     rho, theta, sigma = tau[..., 0:3], tau[..., 3:6], tau[..., 6]
     V = _v_matrix(theta, sigma)
     return _pack(
-        jnp.einsum("...ij,...j->...i", V, rho), so3.exp(theta), jnp.exp(sigma)
+        _es("...ij,...j->...i", V, rho), so3.exp(theta), jnp.exp(sigma)
     )
 
 
@@ -124,7 +125,7 @@ def log(x):
     theta = so3.log(_q(x))
     sigma = jnp.log(_s(x))
     Vinv = jnp.linalg.inv(_v_matrix(theta, sigma))
-    rho = jnp.einsum("...ij,...j->...i", Vinv, _t(x))
+    rho = _es("...ij,...j->...i", Vinv, _t(x))
     return jnp.concatenate([rho, theta, sigma[..., None]], axis=-1)
 
 
@@ -139,7 +140,7 @@ def adjoint(x):
     """
     R = quat_to_mat(_q(x))
     sR = _s(x)[..., None, None] * R
-    tR = jnp.einsum("...ij,...jk->...ik", skew(_t(x)), R)
+    tR = _es("...ij,...jk->...ik", skew(_t(x)), R)
     Z3 = jnp.zeros_like(R)
     mt = -_t(x)[..., None]
     z31 = jnp.zeros(R.shape[:-2] + (3, 1), dtype=x.dtype)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from ..linalg.smallmm import es as _es
 
 from ..config import small_angle_threshold
 from .base import LieGroup
@@ -84,8 +85,8 @@ def act(q, v):
 def act_j(q, v):
     """p' = R v; J_q (right pert) = -R [v]x, J_v = R."""
     R = quat_to_mat(q)
-    p = jnp.einsum("...ij,...j->...i", R, v)
-    return p, -jnp.einsum("...ij,...jk->...ik", R, skew(v)), R
+    p = _es("...ij,...j->...i", R, v)
+    return p, -_es("...ij,...jk->...ik", R, skew(v)), R
 
 
 def adjoint(q):
@@ -96,7 +97,7 @@ def rjac(theta):
     """Right Jacobian: I - B(t)[t]x + C(t)[t]x^2."""
     theta2 = jnp.sum(theta * theta, axis=-1)[..., None, None]
     S = skew(theta)
-    S2 = jnp.einsum("...ij,...jk->...ik", S, S)
+    S2 = _es("...ij,...jk->...ik", S, S)
     eye = jnp.eye(3, dtype=theta.dtype)
     return eye - cosc_b(theta2) * S + sinc3_c(theta2) * S2
 
@@ -105,7 +106,7 @@ def ljac(theta):
     """Left Jacobian: I + B(t)[t]x + C(t)[t]x^2."""
     theta2 = jnp.sum(theta * theta, axis=-1)[..., None, None]
     S = skew(theta)
-    S2 = jnp.einsum("...ij,...jk->...ik", S, S)
+    S2 = _es("...ij,...jk->...ik", S, S)
     eye = jnp.eye(3, dtype=theta.dtype)
     return eye + cosc_b(theta2) * S + sinc3_c(theta2) * S2
 
@@ -114,7 +115,7 @@ def rjac_inv(theta):
     """Jr^{-1} = I + 1/2 [t]x + D(t) [t]x^2."""
     theta2 = jnp.sum(theta * theta, axis=-1)[..., None, None]
     S = skew(theta)
-    S2 = jnp.einsum("...ij,...jk->...ik", S, S)
+    S2 = _es("...ij,...jk->...ik", S, S)
     eye = jnp.eye(3, dtype=theta.dtype)
     return eye + 0.5 * S + jlinv_d(theta2) * S2
 
@@ -123,7 +124,7 @@ def ljac_inv(theta):
     """Jl^{-1} = I - 1/2 [t]x + D(t) [t]x^2."""
     theta2 = jnp.sum(theta * theta, axis=-1)[..., None, None]
     S = skew(theta)
-    S2 = jnp.einsum("...ij,...jk->...ik", S, S)
+    S2 = _es("...ij,...jk->...ik", S, S)
     eye = jnp.eye(3, dtype=theta.dtype)
     return eye - 0.5 * S + jlinv_d(theta2) * S2
 

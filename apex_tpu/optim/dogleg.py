@@ -81,8 +81,8 @@ def _dogleg_step(g, dx_gn, cauchy, delta):
 
     # Case 3: interpolation with Ceres' cancellation-robust beta
     v = dx_gn - cauchy
-    a = jnp.dot(v, v)
-    b = jnp.dot(cauchy, v)
+    a = jnp.sum(v * v)
+    b = jnp.sum(cauchy * v)
     c = c_norm * c_norm - delta * delta
     d2 = b * b - a * c
     d = jnp.sqrt(jnp.maximum(d2, 0.0))
@@ -141,9 +141,9 @@ class DogLeg(LevenbergMarquardt):
             def fresh(_):
                 H, g, cost = cp.assemble_normal(values)
                 dx_gn = dense_linalg.solve_cholesky_with_retry(H, g, mu)
-                gTg = jnp.dot(g, g)
+                gTg = jnp.sum(g * g)
                 Hg = H @ g
-                gHg = jnp.dot(g, Hg)
+                gHg = jnp.sum(g * Hg)
                 alpha = jnp.where(jnp.abs(gHg) > 1e-15, gTg / gHg, 1.0)
                 cauchy = -alpha * g
                 return H, g, dx_gn, cauchy, cost, jnp.asarray(0, jnp.int32)
@@ -166,7 +166,7 @@ class DogLeg(LevenbergMarquardt):
             dx = _dogleg_step(g, dx_gn, cauchy, delta)
             gradient_norm = jnp.linalg.norm(g)
             step_norm = jnp.linalg.norm(dx)
-            predicted = -jnp.dot(dx, g) - 0.5 * jnp.dot(dx, H @ dx)
+            predicted = -jnp.sum(dx * g) - 0.5 * jnp.sum(dx * (H @ dx))
 
             new_values = cp.apply_step(values, dx)
             new_cost = cp.cost(new_values)

@@ -202,7 +202,7 @@ class LevenbergMarquardt:
             step_norm = jnp.linalg.norm(dx)
 
             # predicted = 0.5 * step^T (lambda*step - g)  (lm.rs:721-727)
-            predicted = 0.5 * jnp.dot(dx, damping * dx - g)
+            predicted = 0.5 * jnp.sum(dx * (damping * dx - g))
 
             new_values = cp.apply_step(values, dx)
             new_cost = cp.cost(new_values)

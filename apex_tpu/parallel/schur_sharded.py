@@ -24,6 +24,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..linalg.smallmm import es as _es
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.problem import CompiledProblem
@@ -153,7 +154,7 @@ def make_sharded_schur_step(
             for s in range(len(g.manifolds)):
                 Js = jacs[s]
                 ds = g.manifolds[s].dof
-                gs = jnp.einsum("kdi,kd->ki", Js, r)
+                gs = _es("kdi,kd->ki", Js, r)
                 if kinds[s] == "cam":
                     base = slot_base[s]
                     ccols = base[:, None] + jnp.arange(ds, dtype=base.dtype)
@@ -163,7 +164,7 @@ def make_sharded_schur_step(
                 for t in range(len(g.manifolds)):
                     Jt = jacs[t]
                     dtof = g.manifolds[t].dof
-                    Hst = jnp.einsum("kdi,kdj->kij", Js, Jt)
+                    Hst = _es("kdi,kdj->kij", Js, Jt)
                     if kinds[s] == "cam" and kinds[t] == "cam":
                         bs, bt = slot_base[s], slot_base[t]
                         rows = (bs[:, None] + jnp.arange(ds, dtype=bs.dtype))[:, :, None]
@@ -194,24 +195,24 @@ def make_sharded_schur_step(
             t = jnp.zeros((Pn, 3), dtype=dt)
             for W, (base, lm, ds) in zip(Ws, W_meta):
                 ccols = base[:, None] + jnp.arange(ds, dtype=base.dtype)
-                t = t.at[lm].add(jnp.einsum("kij,ki->kj", W, x[ccols]))
+                t = t.at[lm].add(_es("kij,ki->kj", W, x[ccols]))
             return jax.lax.psum(t, axis_name)
 
         def w_u(u):
             y = jnp.zeros((Dc,), dtype=dt)
             for W, (base, lm, ds) in zip(Ws, W_meta):
-                sk = jnp.einsum("kij,kj->ki", W, u[lm])
+                sk = _es("kij,kj->ki", W, u[lm])
                 ccols = base[:, None] + jnp.arange(ds, dtype=base.dtype)
                 y = y.at[ccols].add(sk)
             return jax.lax.psum(y, axis_name)
 
         # reduced rhs b = -gc + W Hpp^-1 gp
-        u_g = jnp.einsum("kij,kj->ki", Hpp_inv, gp)
+        u_g = _es("kij,kj->ki", Hpp_inv, gp)
         b = -gc + w_u(u_g)
 
         def apply_S(x):
             t = wt_x(x)
-            u = jnp.einsum("kij,kj->ki", Hpp_inv, t)
+            u = _es("kij,kj->ki", Hpp_inv, t)
             return Hcc @ x - w_u(u)
 
         # Schur-Jacobi preconditioner blocks (per camera-side variable)
@@ -233,7 +234,7 @@ def make_sharded_schur_step(
                     w_idx += 1
                     if preconditioner == "block_diagonal":
                         continue
-                    Z = jnp.einsum("kij,kjl,kml->kim", W, Hpp_inv[lm], W)
+                    Z = _es("kil,kml->kim", _es("kij,kjl->kil", W, Hpp_inv[lm]), W)
                     pid = cp.groups[gi].pool_ids[s]
                     rows = args[gi][2][s]  # padded pool-row indices
                     if pid not in per_pool_acc:
@@ -262,7 +263,7 @@ def make_sharded_schur_step(
 
         # back-substitute landmark step (replicated)
         t = wt_x(dxc)
-        dxp = jnp.einsum("kij,kj->ki", Hpp_inv, -gp - t)
+        dxp = _es("kij,kj->ki", Hpp_inv, -gp - t)
 
         # scatter into the global tangent vector
         D = cp.total_dof
