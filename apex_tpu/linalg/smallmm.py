@@ -45,7 +45,7 @@ def es(spec: str, a, b):
     ax_a = _axis_of(sa, c)
     ax_b = _axis_of(sb, c)
     n = a.shape[ax_a]
-    if n > MAX_UNROLL:
+    if n == 0 or n > MAX_UNROLL:
         return jnp.einsum(spec, a, b)
     sa2 = sa.replace(c, "")
     sb2 = sb.replace(c, "")
