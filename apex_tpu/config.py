@@ -26,13 +26,15 @@ if not _X64_DISABLED:
 
 # TPU matmuls default to bf16 inputs on the MXU; for a second-order solver
 # that silently destroys the normal equations (observed: f32 BA diverging
-# to NaN on TPU while bit-identical on CPU). Full-precision f32 matmuls are
-# the correctness baseline; hot paths can relax per-op where validated.
-if os.environ.get("APEX_TPU_MATMUL_PRECISION", "highest") != "default":
-    jax.config.update(
-        "jax_default_matmul_precision",
-        os.environ.get("APEX_TPU_MATMUL_PRECISION", "highest"),
-    )
+# to NaN on TPU while bit-identical on CPU). The framework therefore keeps
+# every solver-critical small contraction OFF the MXU via unrolled VPU
+# multiply-adds (linalg/smallmm.py) instead of raising the global matmul
+# precision — forcing "high"/"highest" crashes the current libtpu at scale.
+# APEX_TPU_MATMUL_PRECISION=(high|highest) remains available for platforms
+# where it is stable.
+_prec = os.environ.get("APEX_TPU_MATMUL_PRECISION", "")
+if _prec and _prec != "default":
+    jax.config.update("jax_default_matmul_precision", _prec)
 
 
 def default_dtype() -> jnp.dtype:
