@@ -125,6 +125,71 @@ def hat(tau):
     )
 
 
+def _jac_third_col(rho_x, rho_y, theta, sign):
+    """Third column of Jr (sign=+1) / Jl (sign=-1):
+    [ (theta x - y + y cos - x sin)/theta^2,
+      (x + theta y - x cos - y sin)/theta^2 ] with Taylor switch."""
+    t2 = theta * theta
+    eps = small_angle_threshold(theta.dtype)
+    small = t2 < eps
+    safe2 = jnp.where(small, jnp.ones_like(t2), t2)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    x = rho_x
+    y = sign * rho_y  # Jl mirrors the y-coupling
+    a_exact = (theta * x - y + y * c - x * s) / safe2
+    b_exact = (x + theta * y - x * c - y * s) / safe2
+    a_taylor = -y / 2.0 + x * theta / 6.0
+    b_taylor = x / 2.0 + y * theta / 6.0
+    a = jnp.where(small, a_taylor, a_exact)
+    b = jnp.where(small, b_taylor, b_exact)
+    return a, sign * b
+
+
+def rjac(tau):
+    """Closed-form right Jacobian (manif se2 convention), verified against
+    exact autodiff of the exp/log pair in tests."""
+    rx, ry, theta = tau[..., 0], tau[..., 1], tau[..., 2]
+    A, B = _sincosc(theta)
+    Bn = B  # (1-cos)/theta
+    a, b = _jac_third_col(rx, ry, theta, +1.0)
+    one = jnp.ones_like(theta)
+    zero = jnp.zeros_like(theta)
+    return jnp.stack(
+        [
+            jnp.stack([A, Bn, a], axis=-1),
+            jnp.stack([-Bn, A, b], axis=-1),
+            jnp.stack([zero, zero, one], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def ljac(tau):
+    """Left Jacobian: Jl(tau) = Jr(-tau)."""
+    return rjac(-tau)
+
+
+def _inv3(J):
+    """Exact 3x3 inverse (adjugate) — elementwise, no matmul lowering."""
+    a, b, c = J[..., 0, 0], J[..., 0, 1], J[..., 0, 2]
+    d, e, f = J[..., 1, 0], J[..., 1, 1], J[..., 1, 2]
+    g, h, i = J[..., 2, 0], J[..., 2, 1], J[..., 2, 2]
+    det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    inv_det = 1.0 / det
+    row0 = jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], axis=-1)
+    row1 = jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], axis=-1)
+    row2 = jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2) * inv_det[..., None, None]
+
+
+def rjac_inv(tau):
+    return _inv3(rjac(tau))
+
+
+def ljac_inv(tau):
+    return _inv3(ljac(tau))
+
+
 def random(key):
     k1, k2 = jax.random.split(key)
     t = jax.random.normal(k1, (2,))
@@ -140,24 +205,24 @@ def interpolate(a, b, alpha):
     return compose(a, exp(alpha * log(compose(inverse(a), b))))
 
 
-from .base import with_autodiff_jacobians as _wad  # noqa: E402
-
-SE2 = _wad(
-    LieGroup(
-        name="SE2",
-        dof=DOF,
-        storage_dim=STORAGE_DIM,
-        identity=identity,
-        inverse=inverse,
-        compose=compose,
-        exp=exp,
-        log=log,
-        adjoint=adjoint,
-        normalize=normalize,
-        act=act,
-        hat=hat,
-        random=random,
-        is_valid=is_valid,
-        interpolate=interpolate,
-    )
+SE2 = LieGroup(
+    name="SE2",
+    dof=DOF,
+    storage_dim=STORAGE_DIM,
+    identity=identity,
+    inverse=inverse,
+    compose=compose,
+    exp=exp,
+    log=log,
+    adjoint=adjoint,
+    normalize=normalize,
+    act=act,
+    rjac=rjac,
+    ljac=ljac,
+    rjac_inv=rjac_inv,
+    ljac_inv=ljac_inv,
+    hat=hat,
+    random=random,
+    is_valid=is_valid,
+    interpolate=interpolate,
 )
