@@ -17,7 +17,7 @@ Hessian assembly — no dynamic dispatch or Python in the iteration loop.
 
 from . import config as _config  # noqa: F401  (enables x64 unless opted out)
 
-from . import core, factors, linalg, manifolds, optim
+from . import cameras, core, errors, factors, io, linalg, manifolds, observers, optim, parallel
 from .core import (
     CauchyLoss,
     HuberLoss,
@@ -42,7 +42,8 @@ from .optim import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "manifolds", "core", "factors", "linalg", "optim",
+    "manifolds", "core", "factors", "linalg", "optim", "cameras", "io",
+    "observers", "parallel", "errors",
     "SE2", "SE3", "SO2", "SO3", "Rn",
     "Problem", "CompiledProblem",
     "BetweenFactor", "PriorFactor", "ManifoldPriorFactor",
