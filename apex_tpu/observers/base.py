@@ -34,6 +34,11 @@ class OptObserver:
     def notify_complete(self, variables: Dict[str, np.ndarray], iterations: int) -> None:
         """Called once when optimization terminates."""
 
+    def set_matrix_data(self, hessian: np.ndarray, gradient: np.ndarray) -> None:
+        """Optional: receives (H, g) per iteration when the optimizer config
+        enables ``expose_matrix_data`` (reference observers/mod.rs:201-307 —
+        used for Hessian heatmaps). Default: ignored."""
+
 
 class OptObserverVec(OptObserver):
     """Multiplexes a list of observers (reference observers/mod.rs:355)."""

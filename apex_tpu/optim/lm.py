@@ -63,6 +63,10 @@ class LevenbergMarquardtConfig:
     schur_preconditioner: str = "schur_jacobi"  # none | block_diagonal | schur_jacobi
     pcg_max_iterations: int = 200
     pcg_tolerance: float = 1e-6
+    # Opt-in: recompute (H, g) per iteration on the host loop and pass them
+    # to observers' set_matrix_data (reference Hessian-heatmap hook). Costs
+    # an extra assembly per iteration; python mode only.
+    expose_matrix_data: bool = False
 
     @classmethod
     def for_bundle_adjustment(cls) -> "LevenbergMarquardtConfig":
@@ -343,6 +347,11 @@ class LevenbergMarquardt:
                     print(st.line())
             prev_cost = cost_f
 
+            if cfg.expose_matrix_data and self.observers:
+                H_obs, g_obs, _ = jax.jit(cp.assemble_normal)(values)
+                for obs in self.observers:
+                    if hasattr(obs, "set_matrix_data"):
+                        obs.set_matrix_data(np.asarray(H_obs), np.asarray(g_obs))
             for obs in self.observers:
                 obs.on_step(
                     cp.values_dict(values),

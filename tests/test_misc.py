@@ -119,3 +119,29 @@ def test_examples_smoke(example, monkeypatch, capsys):
     runpy.run_path(f"examples/{example}.py", run_name="__main__")
     out = capsys.readouterr().out
     assert "status=" in out or "estimate" in out
+
+
+def test_expose_matrix_data_observer():
+    import apex_tpu as apx
+    from apex_tpu.io import synthetic as synth
+
+    captured = []
+
+    class MatObs:
+        def on_step(self, *a, **k):
+            pass
+
+        def set_matrix_data(self, H, g):
+            captured.append((H.shape, g.shape))
+
+        def notify_complete(self, *a):
+            pass
+
+    g = synth.synthetic_pose_graph_2d(n_poses=20, seed=9)
+    cp = g.to_problem().compile()
+    lm = apx.LevenbergMarquardt(
+        apx.LevenbergMarquardtConfig(expose_matrix_data=True, max_iterations=3)
+    )
+    lm.add_observer(MatObs())
+    lm.optimize(cp)
+    assert captured and captured[0] == ((60, 60), (60,))
