@@ -352,40 +352,59 @@ class SchurContext:
         for gi, g in enumerate(cp.groups):
             kinds = self.slot_kind[gi]
             plans = {"g": {}, "hpp": {}, "hcc": {}}
+            # Compact plans: when the entity-local offset of a slot is the
+            # same for every factor (uniform entity layout — standard BA),
+            # blocks are segment-summed over a [K] entity index and placed
+            # at a STATIC (ls, lt) slice: plan memory O(K) instead of
+            # O(K * ds * dt) (3+ GB at venice scale otherwise).
+            ent_of = {}
+            loc_of = {}
+            for s in range(len(g.manifolds)):
+                if kinds[s] != "cam":
+                    continue
+                base = red_of_global[np.asarray(g.cols[s])]
+                ent_of[s] = base // De
+                loc_of[s] = base - ent_of[s] * De
             for s in range(len(g.manifolds)):
                 ds_ = g.manifolds[s].dof
                 if kinds[s] == "cam":
-                    base = red_of_global[np.asarray(g.cols[s])]
-                    dest = base[:, None] + np.arange(ds_)
-                    plans["g"][s] = _plan(dest, self.Dc)
+                    ls = loc_of[s]
+                    uniform = (ls == ls[0]).all() if len(ls) else True
+                    if uniform:
+                        plans["g"][s] = ("ent", _plan(ent_of[s], E), int(ls[0]))
+                    else:
+                        base = red_of_global[np.asarray(g.cols[s])]
+                        dest = base[:, None] + np.arange(ds_)
+                        plans["g"][s] = ("flat", _plan(dest, self.Dc), None)
                 else:
                     lm = np.array([lm_id_of_global[c] for c in np.asarray(g.cols[s])])
-                    dest = lm[:, None] * 3 + np.arange(3)
-                    plans["g"][s] = _plan(dest, self.num_landmarks * 3)
+                    plans["g"][s] = ("lm", _plan(lm, self.num_landmarks), None)
                 for t in range(len(g.manifolds)):
                     dt_ = g.manifolds[t].dof
                     if kinds[s] == "cam" and kinds[t] == "cam":
-                        bs = red_of_global[np.asarray(g.cols[s])]
-                        bt = red_of_global[np.asarray(g.cols[t])]
-                        ent = bs // De
-                        ls = bs - ent * De
-                        lt = bt - (bt // De) * De
-                        dest = (
-                            ent[:, None, None] * (De * De)
-                            + (ls[:, None, None] + np.arange(ds_)[None, :, None]) * De
-                            + (lt[:, None, None] + np.arange(dt_)[None, None, :])
+                        ls, lt = loc_of[s], loc_of[t]
+                        uniform = (
+                            ((ls == ls[0]).all() and (lt == lt[0]).all())
+                            if len(ls) else True
                         )
-                        plans["hcc"][(s, t)] = _plan(dest, E * De * De)
+                        if uniform:
+                            plans["hcc"][(s, t)] = (
+                                "ent", _plan(ent_of[s], E), (int(ls[0]), int(lt[0])),
+                            )
+                        else:
+                            bs = red_of_global[np.asarray(g.cols[s])]
+                            bt = red_of_global[np.asarray(g.cols[t])]
+                            dest = (
+                                (bs // De)[:, None, None] * (De * De)
+                                + (ls[:, None, None] + np.arange(ds_)[None, :, None]) * De
+                                + (lt[:, None, None] + np.arange(dt_)[None, None, :])
+                            )
+                            plans["hcc"][(s, t)] = ("flat", _plan(dest, E * De * De), None)
                     elif kinds[s] == "lm" and kinds[t] == "lm":
                         lm = np.array(
                             [lm_id_of_global[c] for c in np.asarray(g.cols[s])]
                         )
-                        dest = (
-                            lm[:, None, None] * 9
-                            + np.arange(3)[None, :, None] * 3
-                            + np.arange(3)[None, None, :]
-                        )
-                        plans["hpp"][(s, t)] = _plan(dest, self.num_landmarks * 9)
+                        plans["hpp"][(s, t)] = ("lm", _plan(lm, self.num_landmarks), None)
             self._asm_plans.append(plans)
 
         # --- sorted-segment plans for the PCG hot loop ---------------------
@@ -398,27 +417,33 @@ class SchurContext:
             lm = np.asarray(meta.lm_ids)
             perm_lm = np.argsort(lm, kind="stable")
             base = np.asarray(meta.cam_base)
-            colflat = (base[:, None] + np.arange(meta.ds)).reshape(-1)
-            perm_cam = np.argsort(colflat, kind="stable")
-            # preconditioner Z blocks: dest within the entity's [De, De]
             ent = base // De
             loc = base - ent * De
-            zdest = (
-                ent[:, None, None] * (De * De)
-                + (loc[:, None, None] + np.arange(meta.ds)[None, :, None]) * De
-                + (loc[:, None, None] + np.arange(meta.ds)[None, None, :])
-            ).reshape(-1)
-            perm_z = np.argsort(zdest, kind="stable")
-            self._seg_plans.append(
-                dict(
-                    perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
-                    lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
-                    perm_cam=jnp.asarray(perm_cam.astype(np.int32)),
-                    col_sorted=jnp.asarray(colflat[perm_cam].astype(np.int32)),
-                    perm_z=jnp.asarray(perm_z.astype(np.int32)),
-                    z_sorted=jnp.asarray(zdest[perm_z].astype(np.int32)),
-                )
+            uniform = (loc == loc[0]).all() if len(loc) else True
+            plan = dict(
+                perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
+                lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
+                uniform=bool(uniform),
             )
+            if uniform:
+                perm_ent = np.argsort(ent, kind="stable")
+                plan["perm_ent"] = jnp.asarray(perm_ent.astype(np.int32))
+                plan["ent_sorted"] = jnp.asarray(ent[perm_ent].astype(np.int32))
+                plan["loc0"] = int(loc[0]) if len(loc) else 0
+            else:
+                colflat = (base[:, None] + np.arange(meta.ds)).reshape(-1)
+                perm_cam = np.argsort(colflat, kind="stable")
+                plan["perm_cam"] = jnp.asarray(perm_cam.astype(np.int32))
+                plan["col_sorted"] = jnp.asarray(colflat[perm_cam].astype(np.int32))
+                zdest = (
+                    ent[:, None, None] * (De * De)
+                    + (loc[:, None, None] + np.arange(meta.ds)[None, :, None]) * De
+                    + (loc[:, None, None] + np.arange(meta.ds)[None, None, :])
+                ).reshape(-1)
+                perm_z = np.argsort(zdest, kind="stable")
+                plan["perm_z"] = jnp.asarray(perm_z.astype(np.int32))
+                plan["z_sorted"] = jnp.asarray(zdest[perm_z].astype(np.int32))
+            self._seg_plans.append(plan)
 
         # --- static pair enumeration for the explicit variant -------------
         self.pair_indices = None
@@ -471,9 +496,16 @@ class SchurContext:
 
         coupling_of = {(m.group_idx, m.cam_slot): i for i, m in enumerate(self.couplings)}
 
-        def seg(plan, vals):
+        def seg_flat(plan, vals):
             return jax.ops.segment_sum(
                 vals.reshape(-1)[plan["perm"]], plan["idx"],
+                num_segments=plan["n"], indices_are_sorted=True,
+            )
+
+        def seg_rows(plan, vals):
+            """Segment-sum [K, ...] blocks over a [K] id plan."""
+            return jax.ops.segment_sum(
+                vals[plan["perm"]], plan["idx"],
                 num_segments=plan["n"], indices_are_sorted=True,
             )
 
@@ -484,20 +516,33 @@ class SchurContext:
             plans = self._asm_plans[gi]
             for s in range(len(g.manifolds)):
                 Js = jacs[s]
+                ds_ = g.manifolds[s].dof
                 gs = _es("kdi,kd->ki", Js, r)
-                if kinds[s] == "cam":
-                    gc = gc + seg(plans["g"][s], gs)
-                else:
-                    gp = gp + seg(plans["g"][s], gs).reshape(self.num_landmarks, 3)
+                kind, plan, off = plans["g"][s]
+                if kind == "ent":
+                    gsum = seg_rows(plan, gs)  # [E, ds]
+                    gc = (
+                        gc.reshape(E, De).at[:, off : off + ds_].add(gsum).reshape(-1)
+                    )
+                elif kind == "flat":
+                    gc = gc + seg_flat(plan, gs)
+                else:  # lm
+                    gp = gp + seg_rows(plan, gs)
                 for t in range(len(g.manifolds)):
                     Jt = jacs[t]
+                    dt_ = g.manifolds[t].dof
                     Hst = _es("kdi,kdj->kij", Js, Jt)
                     if kinds[s] == "cam" and kinds[t] == "cam":
-                        Hcc = Hcc + seg(plans["hcc"][(s, t)], Hst).reshape(E, De, De)
+                        kind, plan, offs = plans["hcc"][(s, t)]
+                        if kind == "ent":
+                            ls0, lt0 = offs
+                            Hsum = seg_rows(plan, Hst)  # [E, ds, dt]
+                            Hcc = Hcc.at[:, ls0 : ls0 + ds_, lt0 : lt0 + dt_].add(Hsum)
+                        else:
+                            Hcc = Hcc + seg_flat(plan, Hst).reshape(E, De, De)
                     elif kinds[s] == "lm" and kinds[t] == "lm":
-                        Hpp = Hpp + seg(plans["hpp"][(s, t)], Hst).reshape(
-                            self.num_landmarks, 3, 3
-                        )
+                        _, plan, _ = plans["hpp"][(s, t)]
+                        Hpp = Hpp + seg_rows(plan, Hst)
                     elif kinds[s] == "cam" and kinds[t] == "lm":
                         Ws[coupling_of[(gi, s)]] = Hst
                     # lm-cam is the transpose of cam-lm; skip.
@@ -543,13 +588,22 @@ class SchurContext:
 
     def _w_u(self, Ws, u):
         """y += sum_k W_k u[lm_k] via sorted segment-sum at camera columns."""
+        E, De = self.num_entities, self.entity_dof
         y = jnp.zeros((self.Dc,), dtype=u.dtype)
         for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
-            sk = _es("kij,kj->ki", W, u[meta.lm_ids]).reshape(-1)
-            y = y + jax.ops.segment_sum(
-                sk[plan["perm_cam"]], plan["col_sorted"],
-                num_segments=self.Dc, indices_are_sorted=True,
-            )
+            sk = _es("kij,kj->ki", W, u[meta.lm_ids])
+            if plan["uniform"]:
+                s = jax.ops.segment_sum(
+                    sk[plan["perm_ent"]], plan["ent_sorted"],
+                    num_segments=E, indices_are_sorted=True,
+                )  # [E, ds]
+                l0 = plan["loc0"]
+                y = y.reshape(E, De).at[:, l0 : l0 + meta.ds].add(s).reshape(-1)
+            else:
+                y = y + jax.ops.segment_sum(
+                    sk.reshape(-1)[plan["perm_cam"]], plan["col_sorted"],
+                    num_segments=self.Dc, indices_are_sorted=True,
+                )
         return y
 
     def _entity_prec_inv(self, Hcc_blocks, Hpp_inv, Ws, schur_jacobi: bool):
@@ -562,10 +616,18 @@ class SchurContext:
         if schur_jacobi:
             for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
                 Z = _es("kil,kml->kim", _es("kij,kjl->kil", W, Hpp_inv[meta.lm_ids]), W)
-                acc = acc - jax.ops.segment_sum(
-                    Z.reshape(-1)[plan["perm_z"]], plan["z_sorted"],
-                    num_segments=E * De * De, indices_are_sorted=True,
-                ).reshape(E, De, De)
+                if plan["uniform"]:
+                    zsum = jax.ops.segment_sum(
+                        Z[plan["perm_ent"]], plan["ent_sorted"],
+                        num_segments=E, indices_are_sorted=True,
+                    )  # [E, ds, ds]
+                    l0 = plan["loc0"]
+                    acc = acc.at[:, l0 : l0 + meta.ds, l0 : l0 + meta.ds].add(-zsum)
+                else:
+                    acc = acc - jax.ops.segment_sum(
+                        Z.reshape(-1)[plan["perm_z"]], plan["z_sorted"],
+                        num_segments=E * De * De, indices_are_sorted=True,
+                    ).reshape(E, De, De)
         return jnp.linalg.inv(acc)
 
     def _entity_prec_apply(self, inv_blocks, x):
