@@ -123,12 +123,22 @@ class LevenbergMarquardt:
             "iterative_schur": "schur_implicit",
         }
         solver_type = aliases.get(cfg.linear_solver_type, cfg.linear_solver_type)
-        if solver_type in ("schur_explicit", "schur_implicit", "sparse_schur"):
+        if solver_type in ("schur_explicit", "schur_implicit", "sparse_schur",
+                           "schur", "schur_auto"):
             from ..linalg.schur import SchurContext
 
+            if solver_type in ("schur", "schur_auto"):
+                # pick the variant by reduced-system size: dense S is the
+                # right call up to a few thousand camera DOF, matrix-free
+                # PCG beyond (mirrors the reference's guidance).
+                probe = SchurContext(cp, variant="iterative",
+                                     pcg_max_iterations=1)
+                variant = "sparse" if probe.Dc <= 4096 else "iterative"
+            else:
+                variant = "iterative" if solver_type == "schur_implicit" else "sparse"
             ctx = SchurContext(
                 cp,
-                variant="iterative" if solver_type == "schur_implicit" else "sparse",
+                variant=variant,
                 preconditioner=cfg.schur_preconditioner,
                 pcg_max_iterations=cfg.pcg_max_iterations,
                 pcg_tolerance=cfg.pcg_tolerance,
