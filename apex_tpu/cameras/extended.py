@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import register
-from .base import MIN_DEPTH, CameraModel
+from .base import CameraModel
 
 _GEOM = 1e-9  # reference GEOMETRIC_PRECISION analogue
 

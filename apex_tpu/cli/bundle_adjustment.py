@@ -103,12 +103,10 @@ def main(argv=None):
     result = apx.LevenbergMarquardt(cfg).optimize(problem)
     elapsed = time.perf_counter() - t0
 
-    n_obs = ds.num_observations if args.max_points is None else None
-    if n_obs is None:
-        import numpy as np
-
-        keep = ds.point_indices < args.max_points
-        n_obs = int(keep.sum())
+    if args.max_points is None:
+        n_obs = ds.num_observations
+    else:
+        n_obs = int((ds.point_indices < args.max_points).sum())
 
     print()
     print("Optimization completed!")

@@ -23,7 +23,6 @@ from ..linalg.smallmm import es as _es
 
 from ..cameras import CameraModel
 from ..cameras import get as get_camera
-from ..manifolds import se3 as se3m
 from ..manifolds.utils import quat_to_mat, skew
 from .base import Factor
 

@@ -32,7 +32,7 @@ LM damping is added to both H_cc's diagonal and the H_pp blocks
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

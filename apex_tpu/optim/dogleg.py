@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..core.problem import CompiledProblem
 from ..linalg import dense as dense_linalg
-from .common import ConvergenceConfig, Status, check_convergence, compute_step_quality
+from .common import ConvergenceConfig, check_convergence, compute_step_quality
 from .lm import LevenbergMarquardt, LevenbergMarquardtConfig, _tree_where
 
 

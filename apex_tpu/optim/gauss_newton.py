@@ -8,19 +8,12 @@ same convergence criteria as LM. Shares the solve backends with LM.
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 from ..core.problem import CompiledProblem
-from .common import (
-    ConvergenceConfig,
-    SolverResult,
-    Status,
-    check_convergence,
-)
+from .common import ConvergenceConfig, check_convergence
 from .lm import LevenbergMarquardt, LevenbergMarquardtConfig
 
 

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.problem import CompiledProblem, Problem
+from ..core.problem import CompiledProblem
 from ..linalg import dense as dense_linalg
 from .common import (
     ConvergenceConfig,

@@ -14,8 +14,6 @@ landmark/observation axis (see linalg/implicit_schur.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
