@@ -284,7 +284,8 @@ class SchurContext:
             if kept:
                 bases = red_of_global[cols[np.asarray(kept)]]
                 self.cam_pools.append(
-                    (pid, jnp.asarray(np.asarray(kept)), jnp.asarray(bases), pool.manifold.dof)
+                    (pid, jnp.asarray(np.asarray(kept, dtype=np.int32)),
+                     jnp.asarray(bases.astype(np.int32)), pool.manifold.dof)
                 )
 
         # --- classify group slots ----------------------------------------
@@ -301,10 +302,11 @@ class SchurContext:
                 if is_lm.all():
                     kinds.append("lm")
                     bases.append(None)
-                    lmids.append(jnp.asarray(np.array([lm_id_of_global[c] for c in cols_s])))
+                    lmids.append(jnp.asarray(np.array(
+                        [lm_id_of_global[c] for c in cols_s], dtype=np.int32)))
                 elif (~is_lm).all():
                     kinds.append("cam")
-                    bases.append(jnp.asarray(red_of_global[cols_s]))
+                    bases.append(jnp.asarray(red_of_global[cols_s].astype(np.int32)))
                     lmids.append(None)
                 else:
                     raise ValueError(
@@ -735,11 +737,14 @@ class SchurContext:
         dx = jnp.zeros((D,), dtype=cp.dtype)
         g_full = jnp.zeros((D,), dtype=cp.dtype)
         kept = np.nonzero(self.red_of_global >= 0)[0]
-        dx = dx.at[jnp.asarray(kept)].set(dxc[jnp.asarray(self.red_of_global[kept])])
-        g_full = g_full.at[jnp.asarray(kept)].set(gc[jnp.asarray(self.red_of_global[kept])])
-        lm_cols = np.asarray(sorted(self._lm_id_of_global), dtype=np.int64)
-        lm_ids_sorted = np.asarray([self._lm_id_of_global[c] for c in lm_cols])
-        lm_cols3 = jnp.asarray(lm_cols)[:, None] + jnp.arange(3)
+        kept32 = jnp.asarray(kept.astype(np.int32))
+        red32 = jnp.asarray(self.red_of_global[kept].astype(np.int32))
+        dx = dx.at[kept32].set(dxc[red32])
+        g_full = g_full.at[kept32].set(gc[red32])
+        lm_cols = np.asarray(sorted(self._lm_id_of_global), dtype=np.int32)
+        lm_ids_sorted = np.asarray(
+            [self._lm_id_of_global[c] for c in lm_cols], dtype=np.int32)
+        lm_cols3 = jnp.asarray(lm_cols)[:, None] + jnp.arange(3, dtype=np.int32)
         dx = dx.at[lm_cols3].set(dxp[jnp.asarray(lm_ids_sorted)])
         g_full = g_full.at[lm_cols3].set(gp[jnp.asarray(lm_ids_sorted)])
         return dx, g_full, cost
