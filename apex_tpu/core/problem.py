@@ -23,6 +23,7 @@ just a tuple of pool value arrays.
 from __future__ import annotations
 
 import dataclasses
+import re as _re
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -34,6 +35,14 @@ from ..manifolds import get as get_manifold
 from .corrector import correct
 from .losses import Loss
 
+
+
+def _natural_key(name: str):
+    """Sort key splitting digit runs into ints: x2 < x10, cam_9 < cam_10."""
+    out = []
+    for part in _re.split(r"(\d+)", name):
+        out.append(int(part) if part.isdigit() else part)
+    return out
 
 
 def _to_device(arr, dtype=None):
@@ -232,7 +241,7 @@ class Problem:
 
     @property
     def variable_names(self) -> List[str]:
-        return sorted(self._manifold_of)
+        return sorted(self._manifold_of, key=_natural_key)
 
     # -- compilation -------------------------------------------------------
 
@@ -253,8 +262,11 @@ class Problem:
             raise ValueError(f"no initial value for variables: {missing[:5]}...")
 
         # Sorted-name global tangent column layout (reference
-        # optimizer/mod.rs:530-538 sorts variable names).
-        names_sorted = sorted(self._manifold_of)
+        # optimizer/mod.rs:530-538 sorts variable names). The sort is
+        # numeric-aware ("x2" < "x10") so trajectory naming keeps adjacent
+        # poses in adjacent tangent columns — that ordering is what makes
+        # pose-graph normal equations banded (linalg/banded.py).
+        names_sorted = sorted(self._manifold_of, key=_natural_key)
         col_of: Dict[str, int] = {}
         off = 0
         for n in names_sorted:

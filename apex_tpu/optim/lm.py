@@ -63,6 +63,9 @@ class LevenbergMarquardtConfig:
     schur_preconditioner: str = "schur_jacobi"  # none | block_diagonal | schur_jacobi
     pcg_max_iterations: int = 200
     pcg_tolerance: float = 1e-6
+    # Panel override for banded_cholesky/sparse_cholesky (None = auto: at
+    # least the block bandwidth, at least total_dof/16, lane-aligned).
+    banded_panel: int | None = None
     # Opt-in: recompute (H, g) per iteration on the host loop and pass them
     # to observers' set_matrix_data (reference Hessian-heatmap hook). Costs
     # an extra assembly per iteration; python mode only.
@@ -117,7 +120,7 @@ class LevenbergMarquardt:
         # dense-Cholesky path covers <=~20k DOF and "pcg" is the
         # unbounded-size iterative tier.
         aliases = {
-            "sparse_cholesky": "dense_cholesky",
+            "sparse_cholesky": "banded_cholesky",
             "sparse_qr": "dense_qr",
             "sparse_schur_complement": "schur_explicit",
             "iterative_schur": "schur_implicit",
@@ -186,6 +189,15 @@ class LevenbergMarquardt:
 
             return solve_qr_fn
 
+        banded_solve = None
+        if solver_type == "banded_cholesky":
+            from ..linalg import banded
+
+            W = banded.block_bandwidth(cp)
+            banded_solve = banded.make_blocktri_cr_solver(
+                cp.total_dof, W, cp.dtype, block=cfg.banded_panel
+            )
+
         def solve_chol(values, damping, iteration, jacobi_scale):
             H, g, cost = cp.assemble_normal(values)
             if cfg.use_jacobi_scaling:
@@ -198,7 +210,10 @@ class LevenbergMarquardt:
                 g = g * scale
             else:
                 scale = jacobi_scale
-            dx = dense_linalg.solve_cholesky_with_retry(H, g, damping)
+            if banded_solve is not None:
+                dx = banded_solve(H, g, damping)
+            else:
+                dx = dense_linalg.solve_cholesky_with_retry(H, g, damping)
             if cfg.use_jacobi_scaling:
                 dx = dx * scale
             return dx, g, cost, scale
@@ -464,8 +479,12 @@ class LevenbergMarquardt:
         return self._finish_jit(cp, start, *run(cp.initial_values()))
 
     def _finish_jit(self, cp: CompiledProblem, start, cost0, final) -> SolverResult:
+        # One batched device->host transfer for the whole result tree: per-
+        # scalar fetches each pay a full round trip through the remote-TPU
+        # tunnel (~100 ms apiece), an order of magnitude more than the data.
+        cost0, final = jax.device_get((cost0, final))
         (values, damping, nu, cost, iteration, status, _, stats) = final
-        cost_f = float(cost)  # device sync happens here
+        cost_f = float(cost)
         elapsed = time.perf_counter() - start
 
         covariances = None

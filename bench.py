@@ -34,7 +34,8 @@ def _run_once(n_poses, rings, dtype, runs):
 
     problem = g.to_problem()
     cfg = apx.LevenbergMarquardtConfig(
-        mode="jit", max_iterations=100, cost_tolerance=1e-4
+        mode="jit", max_iterations=100, cost_tolerance=1e-4,
+        linear_solver_type=os.environ.get("APEX_BENCH_SOLVER", "sparse_cholesky"),
     )
     solver = apx.LevenbergMarquardt(cfg)
     cp = problem.compile(dtype=dtype)
