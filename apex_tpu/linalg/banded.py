@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .smallmm import es as _es
+
 
 def block_bandwidth(cp) -> int:
     """Host-side: smallest W such that every nonzero H[r, c] from the
@@ -171,28 +173,15 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
-                            base_reg: float = 1e-10, stages: int = 5,
-                            refine: int = 1):
-    """Return solve(H, g, damping) -> dx for (H + damping I) dx = -g using
-    block cyclic reduction on the block-tridiagonal band of H. ``refine``
-    adds that many iterative-refinement passes (one extra back-substitution
-    plus a banded matvec each) to recover f32 accuracy at large D."""
-    m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
-    if W > m:
-        raise ValueError(f"block {m} smaller than bandwidth {W}")
+def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
+                          stages: int = 5, refine: int = 1):
+    """Core block-cyclic-reduction solve on block-tridiagonal storage:
+    returns solve_blocks(Dg [n,m,m], Cg [n,m,m] (Cg[i] = A[i, i-1], Cg[0]
+    zero), b [n,m], damping) -> x [n*m] solving (A + damping I) x = b, with
+    the 5-stage escalating-regularization retry and ``refine`` rounds of
+    iterative refinement."""
     n = -(-D // m)
     Dp = n * m
-    pad = Dp - D
-
-    idx = jnp.arange(n)
-
-    def extract(Hp):
-        H4 = Hp.reshape(n, m, n, m)
-        Dg = H4[idx, :, idx, :]  # [n, m, m]
-        Cg = H4[idx[1:], :, idx[:-1], :]  # block (i, i-1), [n-1, m, m]
-        Cg = jnp.concatenate([jnp.zeros((1, m, m), dtype), Cg])
-        return Dg, Cg
 
     def solve_once(Dg, Cg, bv):
         levels = []
@@ -244,21 +233,16 @@ def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
             xe = x
         return xe.reshape(-1)[:Dp]
 
-    def solve(H, g, damping=None):
-        Hp = jnp.pad(H, ((0, pad), (0, pad)))
-        if pad:
-            prows = D + jnp.arange(pad)
-            Hp = Hp.at[prows, prows].set(jnp.asarray(1.0, dtype))
-        bp = jnp.pad(-g, (0, pad)).reshape(n, m)
-        Dg0, Cg = extract(Hp)
+    def solve_blocks(Dg0, Cg, bp, damping=None):
         damp = jnp.asarray(0.0 if damping is None else damping, dtype)
-        trace_d = jnp.trace(H) / D + damp
+        # mean diagonal magnitude for the retry ladder's first shift
+        diag = Dg0.reshape(n, -1)[:, :: m + 1]
+        trace_d = jnp.sum(diag) / D + damp
         eye = jnp.eye(m, dtype=dtype)[None]
 
         def attempt(shift):
             x = solve_once(Dg0 + shift * eye, Cg, bp)
             for _ in range(refine):
-                # residual of (H + shift I) x = b in the block-tridiag form
                 xb = x.reshape(n, m)
                 hx = (_mm(Dg0 + shift * eye, xb[:, :, None]))[..., 0]
                 hx = hx.at[1:].add((_mm(Cg[1:], xb[:-1, :, None]))[..., 0])
@@ -281,8 +265,127 @@ def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
         dx, _, _ = jax.lax.while_loop(
             cond, body, (dx, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
         )
-        return dx[:D]
+        return dx
+
+    solve_blocks.block = m
+    solve_blocks.n_blocks = n
+    return solve_blocks
+
+
+def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
+                            base_reg: float = 1e-10, stages: int = 5,
+                            refine: int = 1):
+    """Dense-H front end for make_blocktri_cr_core: solve(H, g, damping)
+    extracts the block-tridiagonal band of H and runs cyclic reduction."""
+    m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
+    if W > m:
+        raise ValueError(f"block {m} smaller than bandwidth {W}")
+    n = -(-D // m)
+    Dp = n * m
+    pad = Dp - D
+    core = make_blocktri_cr_core(D, m, dtype, base_reg, stages, refine)
+    idx = jnp.arange(n)
+
+    def solve(H, g, damping=None):
+        Hp = jnp.pad(H, ((0, pad), (0, pad)))
+        if pad:
+            prows = D + jnp.arange(pad)
+            Hp = Hp.at[prows, prows].set(jnp.asarray(1.0, dtype))
+        bp = jnp.pad(-g, (0, pad)).reshape(n, m)
+        H4 = Hp.reshape(n, m, n, m)
+        Dg = H4[idx, :, idx, :]
+        Cg = H4[idx[1:], :, idx[:-1], :]
+        Cg = jnp.concatenate([jnp.zeros((1, m, m), dtype), Cg])
+        return core(Dg, Cg, bp, damping)[:D]
 
     solve.block = m
     solve.n_blocks = n
     return solve
+
+
+class BandedNormalAssembler:
+    """Assemble the normal equations of a banded problem directly into
+    block-tridiagonal storage — the dense [D, D] H never exists.
+
+    One host-precomputed sorted segment-sum covers every Hessian block AND
+    the gradient: each factor's J_s^T J_t entries and J_s^T r entries get
+    static flat destinations in a combined buffer
+
+        [ Dg (n*m*m) | Cg (n*m*m) | g (Dp) | dump (1) ]
+
+    (upper-panel entries, the transposes of Cg, land in the dump slot).
+    Runtime is: batched linearization -> one gather by the precomputed
+    permutation -> one sorted segment-sum. No runtime sort, no dense H
+    traffic — this is what lets 100k-pose graphs fit on one chip.
+    """
+
+    def __init__(self, cp, block: int | None = None):
+        W = block_bandwidth(cp)
+        m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
+        if W > m:
+            raise ValueError(f"block {m} smaller than bandwidth {W}")
+        D = cp.total_dof
+        n = -(-D // m)
+        Dp = n * m
+        self.cp, self.m, self.n, self.D, self.Dp, self.W = cp, m, n, D, Dp, W
+        nmm = n * m * m
+        self.g_base = 2 * nmm
+        dump = 2 * nmm + Dp
+        self.n_segments = dump + 1
+
+        dests = []
+        for g in cp.groups:
+            dofs = [mf.dof for mf in g.manifolds]
+            cols = [np.asarray(c, dtype=np.int64) for c in g.cols]
+            for s_ in range(len(dofs)):
+                rows_g = cols[s_][:, None] + np.arange(dofs[s_])
+                dests.append((self.g_base + rows_g).reshape(-1))
+                for t_ in range(len(dofs)):
+                    r_ = (cols[s_][:, None, None] + np.arange(dofs[s_])[None, :, None])
+                    c_ = (cols[t_][:, None, None] + np.arange(dofs[t_])[None, None, :])
+                    r_, c_ = np.broadcast_arrays(r_, c_)
+                    pr, pc = r_ // m, c_ // m
+                    flat = np.where(
+                        pr == pc, pr * m * m + (r_ % m) * m + (c_ % m),
+                        np.where(pr == pc + 1,
+                                 nmm + pr * m * m + (r_ % m) * m + (c_ % m),
+                                 dump),
+                    )
+                    dests.append(flat.reshape(-1))
+        all_dest = np.concatenate(dests)
+        perm = np.argsort(all_dest, kind="stable")
+        self._perm = jnp.asarray(perm.astype(np.int32))
+        self._ids = jnp.asarray(all_dest[perm].astype(np.int32))
+
+    def assemble(self, values):
+        """-> (Dg [n,m,m], Cg [n,m,m], gvec [D], cost)."""
+        cp, m, n = self.cp, self.m, self.n
+        vals = []
+        cost = jnp.zeros((), cp.dtype)
+        for g in cp.groups:
+            r, jacs = cp.group_linearize(values, g, True)
+            cost = cost + 0.5 * jnp.sum(r * r)
+            for s_ in range(len(g.manifolds)):
+                Js = jacs[s_]
+                vals.append(_es("kdi,kd->ki", Js, r).reshape(-1))
+                for t_ in range(len(g.manifolds)):
+                    vals.append(_es("kdi,kdj->kij", Js, jacs[t_]).reshape(-1))
+        flat = jnp.concatenate(vals)[self._perm]
+        buf = jax.ops.segment_sum(
+            flat, self._ids, num_segments=self.n_segments,
+            indices_are_sorted=True,
+        )
+        nmm = n * m * m
+        Dg = buf[:nmm].reshape(n, m, m)
+        Cg = buf[nmm:2 * nmm].reshape(n, m, m)
+        gvec = buf[self.g_base:self.g_base + self.D]
+        return Dg, Cg, gvec, cost
+
+    def pad_diag_ones(self, Dg):
+        """Set the padding tail of the last diagonal block to identity so
+        the factorization of empty rows is well-posed."""
+        pad = self.Dp - self.D
+        if pad == 0:
+            return Dg
+        k = self.D % self.m + jnp.arange(pad)
+        return Dg.at[self.n - 1, k, k].add(1.0)

@@ -189,14 +189,38 @@ class LevenbergMarquardt:
 
             return solve_qr_fn
 
-        banded_solve = None
         if solver_type == "banded_cholesky":
             from ..linalg import banded
 
-            W = banded.block_bandwidth(cp)
-            banded_solve = banded.make_blocktri_cr_solver(
-                cp.total_dof, W, cp.dtype, block=cfg.banded_panel
-            )
+            asm = banded.BandedNormalAssembler(cp, block=cfg.banded_panel)
+            core = banded.make_blocktri_cr_core(cp.total_dof, asm.m, cp.dtype)
+            D, m, n, Dp = asm.D, asm.m, asm.n, asm.Dp
+
+            def solve_banded(values, damping, iteration, jacobi_scale):
+                Dg, Cg, gv, cost = asm.assemble(values)
+                Dg = asm.pad_diag_ones(Dg)
+                if cfg.use_jacobi_scaling:
+                    diag = Dg.reshape(n, -1)[:, :: m + 1].reshape(-1)[:D]
+                    scale = jnp.where(
+                        iteration == 0,
+                        1.0 / (1.0 + jnp.sqrt(diag)),
+                        jacobi_scale,
+                    )
+                    sb = jnp.pad(scale, (0, Dp - D),
+                                 constant_values=1.0).reshape(n, m)
+                    sb_prev = jnp.concatenate([sb[:1] * 0.0, sb[:-1]])
+                    Dg = Dg * sb[:, :, None] * sb[:, None, :]
+                    Cg = Cg * sb[:, :, None] * sb_prev[:, None, :]
+                    gv = gv * scale
+                else:
+                    scale = jacobi_scale
+                bp = jnp.pad(-gv, (0, Dp - D)).reshape(n, m)
+                dx = core(Dg, Cg, bp, damping)[:D]
+                if cfg.use_jacobi_scaling:
+                    dx = dx * scale
+                return dx, gv, cost, scale
+
+            return solve_banded
 
         def solve_chol(values, damping, iteration, jacobi_scale):
             H, g, cost = cp.assemble_normal(values)
@@ -210,10 +234,7 @@ class LevenbergMarquardt:
                 g = g * scale
             else:
                 scale = jacobi_scale
-            if banded_solve is not None:
-                dx = banded_solve(H, g, damping)
-            else:
-                dx = dense_linalg.solve_cholesky_with_retry(H, g, damping)
+            dx = dense_linalg.solve_cholesky_with_retry(H, g, damping)
             if cfg.use_jacobi_scaling:
                 dx = dx * scale
             return dx, g, cost, scale

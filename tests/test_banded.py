@@ -1,0 +1,113 @@
+"""Banded solvers (linalg/banded.py): panel-scan Cholesky and block cyclic
+reduction vs dense reference solutions, bandwidth detection, natural
+variable ordering, and LM end-to-end equivalence with dense_cholesky."""
+
+import numpy as np
+import pytest
+
+import apex_tpu as apx
+from apex_tpu.io import synthetic
+from apex_tpu.linalg import banded
+
+
+def _random_banded_spd(D, half_band, rng):
+    A = np.zeros((D, D))
+    for i in range(D):
+        j0 = max(0, i - half_band + 1)
+        A[i, j0:i + 1] = rng.normal(size=i + 1 - j0)
+    A = A @ A.T + D * np.eye(D)
+    W = 2 * half_band - 1
+    mask = np.abs(np.subtract.outer(np.arange(D), np.arange(D))) < W
+    return np.where(mask, A, 0.0), W
+
+
+@pytest.mark.parametrize("D,half_band", [(700, 40), (900, 130), (1500, 160)])
+def test_cr_solver_matches_dense(D, half_band):
+    rng = np.random.default_rng(D)
+    A, W = _random_banded_spd(D, half_band, rng)
+    g = rng.normal(size=D)
+    solve = banded.make_blocktri_cr_solver(D, W, np.float64)
+    dx = np.asarray(solve(A, g, 0.1))
+    ref = np.linalg.solve(A + 0.1 * np.eye(D), -g)
+    assert np.abs(dx - ref).max() / np.abs(ref).max() < 1e-10
+
+
+def test_cr_solver_f32_with_refinement():
+    rng = np.random.default_rng(7)
+    A, W = _random_banded_spd(1500, 160, rng)
+    g = rng.normal(size=1500)
+    solve = banded.make_blocktri_cr_solver(1500, W, np.float32, refine=1)
+    dx = np.asarray(solve(A.astype(np.float32), g.astype(np.float32), 0.1))
+    ref = np.linalg.solve(A + 0.1 * np.eye(1500), -g)
+    assert np.abs(dx - ref).max() / np.abs(ref).max() < 5e-5
+
+
+def test_panel_scan_solver_matches_dense():
+    rng = np.random.default_rng(3)
+    A, W = _random_banded_spd(700, 40, rng)
+    g = rng.normal(size=700)
+    solve = banded.make_banded_cholesky_solver(700, W, np.float64)
+    dx = np.asarray(solve(A, g, 0.0))
+    ref = np.linalg.solve(A, -g)
+    assert np.abs(dx - ref).max() / np.abs(ref).max() < 1e-10
+
+
+def test_block_bandwidth_sphere():
+    g = synthetic.synthetic_pose_graph_3d(n_poses=200, rings=10, seed=0)
+    cp = g.to_problem().compile(dtype=np.float64)
+    # odometry (i, i+1) and ring closure (i, i+20): W = 20*6 + 6
+    assert banded.block_bandwidth(cp) == 126
+
+
+def test_natural_variable_ordering():
+    from apex_tpu.core.problem import Problem
+    from apex_tpu.factors.prior import PriorFactor
+
+    p = Problem()
+    for i in [0, 2, 10, 1, 11]:
+        p.add_variable(f"x{i}", "R3", np.zeros(3))
+        p.add_residual_block([f"x{i}"], PriorFactor(np.full(3, float(i))))
+    cp = p.compile(dtype=np.float64)
+    names = cp.pools[0].names
+    cols = dict(zip(names, np.asarray(cp.pools[0].cols)))
+    assert cols["x1"] < cols["x2"] < cols["x10"] < cols["x11"]
+    r = apx.LevenbergMarquardt(
+        apx.LevenbergMarquardtConfig(mode="jit")
+    ).optimize(cp)
+    assert np.allclose(r.variables["x10"], 10.0)
+    assert np.allclose(r.variables["x2"], 2.0)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_lm_sparse_cholesky_matches_dense(dtype):
+    g = synthetic.synthetic_pose_graph_3d(n_poses=300, rings=10, seed=0)
+    cp = g.to_problem().compile(dtype=dtype)
+    res = {}
+    for st in ("dense_cholesky", "sparse_cholesky"):
+        cfg = apx.LevenbergMarquardtConfig(
+            mode="jit", max_iterations=100, cost_tolerance=1e-4,
+            linear_solver_type=st,
+        )
+        res[st] = apx.LevenbergMarquardt(cfg).optimize(cp)
+        assert res[st].converged
+    d, b = res["dense_cholesky"], res["sparse_cholesky"]
+    assert abs(d.final_cost - b.final_cost) / d.final_cost < 1e-4
+
+
+def test_lm_sparse_cholesky_full_bandwidth_ring():
+    """Wrap-around loop closure makes W == D: the banded solver must
+    degenerate to the dense factorization and agree exactly."""
+    g = synthetic.synthetic_pose_graph_2d(n_poses=60, seed=3)
+    cp = g.to_problem(fix_first=True).compile(dtype=np.float64)
+    assert banded.block_bandwidth(cp) == cp.total_dof
+    res = {}
+    for st in ("dense_cholesky", "sparse_cholesky"):
+        cfg = apx.LevenbergMarquardtConfig(
+            mode="jit", max_iterations=50, linear_solver_type=st
+        )
+        res[st] = apx.LevenbergMarquardt(cfg).optimize(cp)
+    assert res["sparse_cholesky"].iterations == res["dense_cholesky"].iterations
+    assert np.isclose(
+        res["sparse_cholesky"].final_cost, res["dense_cholesky"].final_cost,
+        rtol=1e-10,
+    )
