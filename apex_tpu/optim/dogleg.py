@@ -126,10 +126,61 @@ class DogLeg(LevenbergMarquardt):
     def _make_step_fn(self, cp: CompiledProblem):
         dl = self.dl_config
         ccfg = dl.convergence()
-        if dl.linear_solver_type not in ("dense_cholesky", "dense_qr"):
+        solver_type = {"sparse_cholesky": "banded_cholesky"}.get(
+            dl.linear_solver_type, dl.linear_solver_type
+        )
+        if solver_type not in ("dense_cholesky", "dense_qr", "banded_cholesky"):
             raise NotImplementedError(
-                "DogLeg currently supports the dense solver paths"
+                "DogLeg supports dense_cholesky / dense_qr / banded_cholesky"
             )
+
+        # Hessian representation: dense [D, D], or block-tridiagonal
+        # (Dg, Cg) panels from the banded assembler (linalg/banded.py) —
+        # same storage the LM banded path uses; carried through the trust-
+        # region cache so rejected steps reuse the factorizable form.
+        if solver_type == "banded_cholesky":
+            from ..linalg import banded
+
+            asm = banded.BandedNormalAssembler(cp)
+            core = banded.make_blocktri_cr_core(cp.total_dof, asm.m, cp.dtype)
+            D_, m_, n_, Dp_ = asm.D, asm.m, asm.n, asm.Dp
+
+            def assemble(values):
+                Dg, Cg, g, cost = asm.assemble(values)
+                return dict(Dg=asm.pad_diag_ones(Dg), Cg=Cg), g, cost
+
+            def hsolve(rep, g, mu):
+                bp = jnp.pad(-g, (0, Dp_ - D_)).reshape(n_, m_)
+                return core(rep["Dg"], rep["Cg"], bp, mu)[:D_]
+
+            def hmatvec(rep, v):
+                xb = jnp.pad(v, (0, Dp_ - D_)).reshape(n_, m_)
+                Dg, Cg = rep["Dg"], rep["Cg"]
+                hp = jax.lax.Precision.HIGHEST
+                hx = jnp.einsum("nij,nj->ni", Dg, xb, precision=hp)
+                hx = hx.at[1:].add(jnp.einsum("nij,nj->ni", Cg[1:], xb[:-1], precision=hp))
+                hx = hx.at[:-1].add(jnp.einsum("nji,nj->ni", Cg[1:], xb[1:], precision=hp))
+                return hx.reshape(-1)[:D_]
+
+            def empty_rep(D):
+                z = jnp.zeros((n_, m_, m_), dtype=cp.dtype)
+                return dict(Dg=z, Cg=z)
+        else:
+
+            def assemble(values):
+                H, g, cost = cp.assemble_normal(values)
+                return dict(H=H), g, cost
+
+            def hsolve(rep, g, mu):
+                return dense_linalg.solve_cholesky_with_retry(rep["H"], g, mu)
+
+            def hmatvec(rep, v):
+                return rep["H"] @ v
+
+            def empty_rep(D):
+                return dict(H=jnp.zeros((D, D), dtype=cp.dtype))
+
+        self._dl_empty_rep = empty_rep
 
         def step(values, state_pack, nu_unused, current_cost, iteration, jacobi_scale):
             # state_pack carries (delta, mu, cache...) packed as a dict in
@@ -139,18 +190,17 @@ class DogLeg(LevenbergMarquardt):
             cache = state_pack["cache"]
 
             def fresh(_):
-                H, g, cost = cp.assemble_normal(values)
-                dx_gn = dense_linalg.solve_cholesky_with_retry(H, g, mu)
+                rep, g, cost = assemble(values)
+                dx_gn = hsolve(rep, g, mu)
                 gTg = jnp.sum(g * g)
-                Hg = H @ g
-                gHg = jnp.sum(g * Hg)
+                gHg = jnp.sum(g * hmatvec(rep, g))
                 alpha = jnp.where(jnp.abs(gHg) > 1e-15, gTg / gHg, 1.0)
                 cauchy = -alpha * g
-                return H, g, dx_gn, cauchy, cost, jnp.asarray(0, jnp.int32)
+                return rep, g, dx_gn, cauchy, cost, jnp.asarray(0, jnp.int32)
 
             def reuse(_):
                 return (
-                    cache["H"],
+                    cache["rep"],
                     cache["g"],
                     cache["dx_gn"],
                     cache["cauchy"],
@@ -159,14 +209,14 @@ class DogLeg(LevenbergMarquardt):
                 )
 
             can_reuse = cache["valid"] & (cache["count"] < 5) & (iteration > 0)
-            H, g, dx_gn, cauchy, current_cost, reuse_count = jax.lax.cond(
+            rep, g, dx_gn, cauchy, current_cost, reuse_count = jax.lax.cond(
                 can_reuse, reuse, fresh, operand=None
             )
 
             dx = _dogleg_step(g, dx_gn, cauchy, delta)
             gradient_norm = jnp.linalg.norm(g)
             step_norm = jnp.linalg.norm(dx)
-            predicted = -jnp.sum(dx * g) - 0.5 * jnp.sum(dx * (H @ dx))
+            predicted = -jnp.sum(dx * g) - 0.5 * jnp.sum(dx * hmatvec(rep, dx))
 
             new_values = cp.apply_step(values, dx)
             new_cost = cp.cost(new_values)
@@ -194,7 +244,7 @@ class DogLeg(LevenbergMarquardt):
             # Reuse only when rejected (parameters unmoved).
             cache_valid = (~accepted) & poor & bool(dl.enable_step_reuse)
             new_cache = dict(
-                H=H, g=g, dx_gn=dx_gn, cauchy=cauchy,
+                rep=rep, g=g, dx_gn=dx_gn, cauchy=cauchy,
                 valid=cache_valid, count=reuse_count,
             )
 
@@ -229,7 +279,7 @@ class DogLeg(LevenbergMarquardt):
             delta=jnp.asarray(dl.trust_region_radius, cp.dtype),
             mu=jnp.asarray(dl.initial_mu, cp.dtype),
             cache=dict(
-                H=jnp.zeros((D, D), dtype=cp.dtype),
+                rep=self._dl_empty_rep(D),
                 g=zeros,
                 dx_gn=zeros,
                 cauchy=zeros,

@@ -111,3 +111,24 @@ def test_lm_sparse_cholesky_full_bandwidth_ring():
         res["sparse_cholesky"].final_cost, res["dense_cholesky"].final_cost,
         rtol=1e-10,
     )
+
+
+@pytest.mark.parametrize("opt", ["gn", "dl"])
+def test_gn_dogleg_banded_match_dense(opt):
+    from apex_tpu.optim import DogLeg, DogLegConfig, GaussNewton, GaussNewtonConfig
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=200, rings=10, seed=0)
+    cp = g.to_problem().compile(dtype=np.float64)
+    res = {}
+    for st in ("dense_cholesky", "sparse_cholesky"):
+        if opt == "gn":
+            r = GaussNewton(GaussNewtonConfig(
+                mode="jit", linear_solver_type=st, max_iterations=50)).optimize(cp)
+        else:
+            r = DogLeg(DogLegConfig(
+                mode="jit", linear_solver_type=st, max_iterations=100)).optimize(cp)
+        assert r.converged
+        res[st] = r
+    assert res["sparse_cholesky"].iterations == res["dense_cholesky"].iterations
+    assert np.isclose(res["sparse_cholesky"].final_cost,
+                      res["dense_cholesky"].final_cost, rtol=1e-8)
