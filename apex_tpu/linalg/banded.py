@@ -174,7 +174,8 @@ def _mm(a, b):
 
 
 def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
-                          stages: int = 5, refine: int = 1):
+                          stages: int = 5, refine: int = 1,
+                          base_blocks: int = 2):
     """Core block-cyclic-reduction solve on block-tridiagonal storage:
     returns solve_blocks(Dg [n,m,m], Cg [n,m,m] (Cg[i] = A[i, i-1], Cg[0]
     zero), b [n,m], damping) -> x [n*m] solving (A + damping I) x = b, with
@@ -185,7 +186,7 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
 
     def solve_once(Dg, Cg, bv):
         levels = []
-        while Dg.shape[0] > 2:
+        while Dg.shape[0] > base_blocks:
             nn = Dg.shape[0]
             if nn % 2:
                 eye1 = jnp.eye(m, dtype=dtype)[None]
@@ -371,6 +372,10 @@ class BandedNormalAssembler:
                 for t_ in range(len(g.manifolds)):
                     vals.append(_es("kdi,kdj->kij", Js, jacs[t_]).reshape(-1))
         flat = jnp.concatenate(vals)[self._perm]
+        # Keep the permutation gather a separate kernel: if XLA fuses it
+        # into the segment-sum scatter, the scatter's reads become random
+        # and it runs ~5x slower (measured on TPU).
+        flat = jax.lax.optimization_barrier(flat)
         buf = jax.ops.segment_sum(
             flat, self._ids, num_segments=self.n_segments,
             indices_are_sorted=True,
