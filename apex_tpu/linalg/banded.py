@@ -304,6 +304,56 @@ def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
     return solve
 
 
+def band_plan(slot_specs, m, n, g_base, dump):
+    """Host-side destination plan for band assembly. ``slot_specs`` is an
+    iterable of (dofs, cols) per factor group, where cols[s] is the [K]
+    numpy array of global tangent columns for slot s. Returns (perm, ids)
+    as int32 numpy arrays: emit values group-by-group (g entries then the
+    s x t Hessian blocks, C-order), gather by perm, segment-sum with ids."""
+    nmm = n * m * m
+    dests = []
+    for dofs, cols in slot_specs:
+        cols = [np.asarray(c, dtype=np.int64) for c in cols]
+        for s_ in range(len(dofs)):
+            rows_g = cols[s_][:, None] + np.arange(dofs[s_])
+            dests.append((g_base + rows_g).reshape(-1))
+            for t_ in range(len(dofs)):
+                r_ = (cols[s_][:, None, None] + np.arange(dofs[s_])[None, :, None])
+                c_ = (cols[t_][:, None, None] + np.arange(dofs[t_])[None, None, :])
+                r_, c_ = np.broadcast_arrays(r_, c_)
+                pr, pc = r_ // m, c_ // m
+                flat = np.where(
+                    pr == pc, pr * m * m + (r_ % m) * m + (c_ % m),
+                    np.where(pr == pc + 1,
+                             nmm + pr * m * m + (r_ % m) * m + (c_ % m),
+                             dump),
+                )
+                dests.append(flat.reshape(-1))
+    all_dest = np.concatenate(dests)
+    perm = np.argsort(all_dest, kind="stable")
+    return perm.astype(np.int32), all_dest[perm].astype(np.int32)
+
+
+def band_values(cp, values, groups=None, weights=None):
+    """Device-side value vector matching band_plan's emission order, plus
+    the total cost. ``weights`` optionally zero out padded factors."""
+    vals = []
+    cost = jnp.zeros((), cp.dtype)
+    groups = cp.groups if groups is None else groups
+    for gi, g in enumerate(groups):
+        r, jacs = cp.group_linearize(values, g, True)
+        if weights is not None:
+            r = r * weights[gi][:, None]
+            jacs = [j * weights[gi][:, None, None] for j in jacs]
+        cost = cost + 0.5 * jnp.sum(r * r)
+        for s_ in range(len(g.manifolds)):
+            Js = jacs[s_]
+            vals.append(_es("kdi,kd->ki", Js, r).reshape(-1))
+            for t_ in range(len(g.manifolds)):
+                vals.append(_es("kdi,kdj->kij", Js, jacs[t_]).reshape(-1))
+    return jnp.concatenate(vals), cost
+
+
 class BandedNormalAssembler:
     """Assemble the normal equations of a banded problem directly into
     block-tridiagonal storage — the dense [D, D] H never exists.
@@ -334,44 +384,18 @@ class BandedNormalAssembler:
         dump = 2 * nmm + Dp
         self.n_segments = dump + 1
 
-        dests = []
-        for g in cp.groups:
-            dofs = [mf.dof for mf in g.manifolds]
-            cols = [np.asarray(c, dtype=np.int64) for c in g.cols]
-            for s_ in range(len(dofs)):
-                rows_g = cols[s_][:, None] + np.arange(dofs[s_])
-                dests.append((self.g_base + rows_g).reshape(-1))
-                for t_ in range(len(dofs)):
-                    r_ = (cols[s_][:, None, None] + np.arange(dofs[s_])[None, :, None])
-                    c_ = (cols[t_][:, None, None] + np.arange(dofs[t_])[None, None, :])
-                    r_, c_ = np.broadcast_arrays(r_, c_)
-                    pr, pc = r_ // m, c_ // m
-                    flat = np.where(
-                        pr == pc, pr * m * m + (r_ % m) * m + (c_ % m),
-                        np.where(pr == pc + 1,
-                                 nmm + pr * m * m + (r_ % m) * m + (c_ % m),
-                                 dump),
-                    )
-                    dests.append(flat.reshape(-1))
-        all_dest = np.concatenate(dests)
-        perm = np.argsort(all_dest, kind="stable")
-        self._perm = jnp.asarray(perm.astype(np.int32))
-        self._ids = jnp.asarray(all_dest[perm].astype(np.int32))
+        perm, ids = band_plan(
+            [([mf.dof for mf in g.manifolds], g.cols) for g in cp.groups],
+            m, n, self.g_base, dump,
+        )
+        self._perm = jnp.asarray(perm)
+        self._ids = jnp.asarray(ids)
 
     def assemble(self, values):
         """-> (Dg [n,m,m], Cg [n,m,m], gvec [D], cost)."""
         cp, m, n = self.cp, self.m, self.n
-        vals = []
-        cost = jnp.zeros((), cp.dtype)
-        for g in cp.groups:
-            r, jacs = cp.group_linearize(values, g, True)
-            cost = cost + 0.5 * jnp.sum(r * r)
-            for s_ in range(len(g.manifolds)):
-                Js = jacs[s_]
-                vals.append(_es("kdi,kd->ki", Js, r).reshape(-1))
-                for t_ in range(len(g.manifolds)):
-                    vals.append(_es("kdi,kdj->kij", Js, jacs[t_]).reshape(-1))
-        flat = jnp.concatenate(vals)[self._perm]
+        vals, cost = band_values(cp, values)
+        flat = vals[self._perm]
         # Keep the permutation gather a separate kernel: if XLA fuses it
         # into the segment-sum scatter, the scatter's reads become random
         # and it runs ~5x slower (measured on TPU).

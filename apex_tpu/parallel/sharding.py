@@ -161,3 +161,115 @@ def make_sharded_lm_step(cp: CompiledProblem, mesh: Mesh, damping_min=1e-12,
         return out_values, new_damping, new_nu, out_cost
 
     return step
+
+
+def make_sharded_banded_lm_step(cp: CompiledProblem, mesh: Mesh,
+                                damping_min=1e-12, damping_max=1e12,
+                                axis_name: str | None = None):
+    """Multi-chip banded pose-graph LM step: factor shards are linearized
+    per device, each device segment-sums its entries into the block-
+    tridiagonal [Dg | Cg | g] buffer with its own (host-precomputed,
+    sharded-in) plan, one ``psum`` reduces the buffers over ICI, and the
+    block-cyclic-reduction solve + Nielsen update run replicated. The
+    reduced buffer is O(D*W) — at sphere2500 scale 47 MB vs the 900 MB a
+    dense-H psum would move per iteration."""
+    from ..linalg import banded
+
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis_name]))
+
+    W = banded.block_bandwidth(cp)
+    m = int(-(-max(W, 128) // 128) * 128)
+    D = cp.total_dof
+    n = -(-D // m)
+    Dp = n * m
+    nmm = n * m * m
+    g_base = 2 * nmm
+    dump = 2 * nmm + Dp
+    n_segments = dump + 1
+    core = banded.make_blocktri_cr_core(D, m, cp.dtype)
+
+    sharded = pad_groups_for_mesh(cp, n_dev)
+    shard_args = tuple(_group_shard_leaves(sg) for sg in sharded)
+
+    # Per-device segment plans over each device's factor chunk, stacked so
+    # P(axis) hands each device its own (perm, ids).
+    perms, idss = [], []
+    for d in range(n_dev):
+        specs = []
+        for sg in sharded:
+            Kl = sg.group.count // n_dev
+            cols_d = [np.asarray(c)[d * Kl:(d + 1) * Kl] for c in sg.group.cols]
+            specs.append(([mf.dof for mf in sg.group.manifolds], cols_d))
+        perm_d, ids_d = banded.band_plan(specs, m, n, g_base, dump)
+        perms.append(perm_d)
+        idss.append(ids_d)
+    plan_perm = jnp.asarray(np.concatenate(perms))
+    plan_ids = jnp.asarray(np.concatenate(idss))
+
+    def local_normal(values, plan_perm, plan_ids, *args):
+        groups, weights = [], []
+        for sg, leaf in zip(sharded, args):
+            data, loss_params, indices, cols, masks_present, weight = leaf
+            masks = []
+            mi = 0
+            for mk in sg.group.free_masks:
+                if mk is None:
+                    masks.append(None)
+                else:
+                    masks.append(masks_present[mi])
+                    mi += 1
+            groups.append(dataclasses.replace(
+                sg.group, data=data, loss_params=loss_params,
+                indices=tuple(indices), cols=tuple(cols),
+                free_masks=tuple(masks), count=weight.shape[0],
+            ))
+            weights.append(weight)
+        vals, cost = banded.band_values(cp, values, groups=groups,
+                                        weights=weights)
+        flat = jax.lax.optimization_barrier(vals[plan_perm])
+        buf = jax.ops.segment_sum(flat, plan_ids, num_segments=n_segments,
+                                  indices_are_sorted=True)
+        return (jax.lax.psum(buf, axis_name), jax.lax.psum(cost, axis_name))
+
+    normal_fn = jax.shard_map(
+        local_normal,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name))
+        + tuple(P(axis_name) for _ in shard_args),
+        out_specs=(P(), P()),
+    )
+
+    def step(values, damping, nu, current_cost):
+        from ..optim.common import compute_step_quality
+
+        buf, cost = normal_fn(values, plan_perm, plan_ids, *shard_args)
+        Dg = buf[:nmm].reshape(n, m, m)
+        Cg = buf[nmm:2 * nmm].reshape(n, m, m)
+        gv = buf[g_base:g_base + D]
+        pad = Dp - D
+        if pad:
+            k = D % m + jnp.arange(pad)
+            Dg = Dg.at[n - 1, k, k].add(1.0)
+        bp = jnp.pad(-gv, (0, pad)).reshape(n, m)
+        dx = core(Dg, Cg, bp, damping)[:D]
+        predicted = 0.5 * jnp.dot(dx, damping * dx - gv)
+        new_values = cp.apply_step(values, dx)
+        new_cost = cp.cost(new_values)
+        rho = compute_step_quality(cost, new_cost, predicted)
+        accepted = rho > 0.0
+        coff = 2.0 * rho - 1.0
+        new_damping = jnp.where(
+            accepted,
+            jnp.clip(damping * jnp.maximum(1.0 / 3.0, 1.0 - coff**3),
+                     damping_min, damping_max),
+            jnp.minimum(damping * nu, damping_max),
+        )
+        new_nu = jnp.where(accepted, 2.0, nu * 2.0)
+        out_values = jax.tree.map(
+            lambda a, b: jnp.where(accepted, a, b), new_values, values)
+        out_cost = jnp.where(accepted, new_cost, cost)
+        return out_values, new_damping, new_nu, out_cost
+
+    return step

@@ -96,3 +96,30 @@ def test_sharded_schur_ba_step(mesh):
 
     cost0, cost6 = run(values)
     assert float(cost6) < 0.3 * float(cost0)
+
+
+def test_sharded_banded_lm_step_matches_dense_sharded():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from apex_tpu.io import synthetic
+    from apex_tpu.parallel import make_sharded_banded_lm_step, make_sharded_lm_step
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=96, rings=4, seed=0)
+    cp = g.to_problem().compile(dtype=np.float64)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    stepb = jax.jit(make_sharded_banded_lm_step(cp, mesh))
+    stepd = jax.jit(make_sharded_lm_step(cp, mesh))
+    vals = cp.initial_values()
+    damping = jnp.asarray(1e-3)
+    nu = jnp.asarray(2.0)
+    cost = cp.cost(vals)
+    with mesh:
+        vb, db, nb, cb = stepb(vals, damping, nu, cost)
+        _, _, _, cd = stepd(vals, damping, nu, cost)
+        for _ in range(2):
+            vb, db, nb, cb = stepb(vb, db, nb, cb)
+    assert abs(float(cb - cd)) < abs(float(cd))  # both finite & comparable
+    assert np.isclose(float(stepd(vals, damping, nu, cost)[3]), float(cd))
+    assert float(cb) < float(cost)
