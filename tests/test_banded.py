@@ -132,3 +132,18 @@ def test_gn_dogleg_banded_match_dense(opt):
     assert res["sparse_cholesky"].iterations == res["dense_cholesky"].iterations
     assert np.isclose(res["sparse_cholesky"].final_cost,
                       res["dense_cholesky"].final_cost, rtol=1e-8)
+
+
+def test_strided_band_assembler_matches_segment_sum():
+    g = synthetic.synthetic_pose_graph_3d(n_poses=240, rings=8, seed=2)
+    cp = g.to_problem().compile(dtype=np.float64)
+    vals = cp.initial_values()
+    ref = banded.BandedNormalAssembler(cp)
+    fast = banded.StridedBandAssembler.build(cp)
+    assert fast is not None
+    D1, C1, g1, c1 = ref.assemble(vals)
+    D2, C2, g2, c2 = fast.assemble(vals)
+    assert np.abs(np.asarray(D1) - np.asarray(D2)).max() < 1e-12
+    assert np.abs(np.asarray(C1) - np.asarray(C2)).max() < 1e-12
+    assert np.abs(np.asarray(g1) - np.asarray(g2)).max() < 1e-12
+    assert np.isclose(float(c1), float(c2))
