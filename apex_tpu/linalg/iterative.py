@@ -95,7 +95,9 @@ class IterativeNormalSolver:
                 pid = grp.pool_ids[s]
                 Hss = _es("kdi,kdj->kij", Js, Js)
                 pool_acc[pid] = pool_acc[pid].at[grp.indices[s]].add(Hss)
-        return [jnp.linalg.inv(acc) for acc in pool_acc]
+        from .utils import spd_clamped_inv
+
+        return [spd_clamped_inv(acc) for acc in pool_acc]
 
     def _apply_prec(self, inv_blocks, x):
         cp = self.cp

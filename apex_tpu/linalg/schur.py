@@ -630,7 +630,9 @@ class SchurContext:
                         Z.reshape(-1)[plan["perm_z"]], plan["z_sorted"],
                         num_segments=E * De * De, indices_are_sorted=True,
                     ).reshape(E, De, De)
-        return jnp.linalg.inv(acc)
+        from .utils import spd_clamped_inv
+
+        return spd_clamped_inv(acc)
 
     def _entity_prec_apply(self, inv_blocks, x):
         E, De = self.num_entities, self.entity_dof
