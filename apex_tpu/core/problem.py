@@ -245,8 +245,100 @@ class Problem:
 
     # -- compilation -------------------------------------------------------
 
+    def _edge_arrays(self, id_of):
+        """Host-side variable-pair edges (with duplicates) as int64 arrays —
+        the variable connectivity graph for fill-reducing ordering."""
+        ra, ca = [], []
+        for blk in self._blocks:
+            if blk is None:
+                continue
+            ids = [id_of[k] for k in blk[0]]
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    ra.append(ids[a])
+                    ca.append(ids[b])
+        out_r = [np.asarray(ra, dtype=np.int64)]
+        out_c = [np.asarray(ca, dtype=np.int64)]
+        for slot_keys, *_ in self._bulk:
+            slot_ids = []
+            for kind, names_s, base_idx in slot_keys:
+                base = np.asarray([id_of[k] for k in names_s], dtype=np.int64)
+                slot_ids.append(base[base_idx] if kind == "indexed" else base)
+            for a in range(len(slot_ids)):
+                for b in range(a + 1, len(slot_ids)):
+                    out_r.append(slot_ids[a])
+                    out_c.append(slot_ids[b])
+        return np.concatenate(out_r), np.concatenate(out_c)
+
+    @staticmethod
+    def _layout_bandwidth(order, dof_arr, er, ec):
+        """Tangent-column block bandwidth of the coupling pattern under a
+        variable ordering (``order``: permutation of variable ids)."""
+        n = len(order)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        cols = np.zeros(n, dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(dof_arr[order])[:-1]])
+        cols[order] = csum
+        if er.size == 0:
+            return int(dof_arr.max(initial=1))
+        lo = np.minimum(cols[er], cols[ec])
+        hi = np.maximum(cols[er] + dof_arr[er], cols[ec] + dof_arr[ec])
+        return int(max((hi - lo).max(), dof_arr.max()))
+
+    # Auto-ordering guards: RCM only pays off when the name-order band is
+    # wide, and the host-side graph build must stay cheap.
+    _RCM_AUTO_BANDWIDTH = 768  # tangent columns (two 384 panels)
+    _RCM_MAX_VARS = 200_000
+    _RCM_MAX_EDGES = 4_000_000
+
+    def _ordered_names(self, names_sorted, ordering: str):
+        """Final variable layout order. ``name`` keeps the numeric-aware
+        name sort (reference optimizer/mod.rs:530-538); ``rcm`` applies
+        reverse Cuthill-McKee over the variable connectivity graph —
+        the bandwidth-minimizing host-side permutation that makes the
+        banded solver tier usable on graphs whose natural name order is
+        not trajectory-like (the reference handles those via faer's
+        fill-reducing sparse LLT, src/linalg/sparse/cholesky.rs:103-157);
+        ``auto`` measures the name-order bandwidth and switches to RCM
+        when it exceeds a panel threshold and RCM actually helps."""
+        if ordering == "name" or len(names_sorted) < 3:
+            return names_sorted
+        if ordering not in ("rcm", "auto"):
+            raise ValueError(f"unknown ordering {ordering!r}")
+        id_of = {n: i for i, n in enumerate(names_sorted)}
+        nv = len(names_sorted)
+        if ordering == "auto" and nv > self._RCM_MAX_VARS:
+            return names_sorted
+        dof_arr = np.asarray(
+            [get_manifold(self._manifold_of[n]).dof for n in names_sorted],
+            dtype=np.int64,
+        )
+        er, ec = self._edge_arrays(id_of)
+        if ordering == "auto" and er.size > self._RCM_MAX_EDGES:
+            return names_sorted
+        name_order = np.arange(nv)
+        Wn = self._layout_bandwidth(name_order, dof_arr, er, ec)
+        if ordering == "auto" and Wn <= self._RCM_AUTO_BANDWIDTH:
+            return names_sorted
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        ones = np.ones(er.size, dtype=np.int8)
+        A = sp.coo_matrix(
+            (np.concatenate([ones, ones]),
+             (np.concatenate([er, ec]), np.concatenate([ec, er]))),
+            shape=(nv, nv),
+        ).tocsr()
+        perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True),
+                          dtype=np.int64)
+        Wr = self._layout_bandwidth(perm, dof_arr, er, ec)
+        if ordering == "auto" and Wr >= Wn:
+            return names_sorted
+        return [names_sorted[i] for i in perm]
+
     def compile(self, initial_values: Optional[Dict[str, np.ndarray]] = None,
-                dtype=None) -> "CompiledProblem":
+                dtype=None, ordering: str = "auto") -> "CompiledProblem":
         if dtype is None:
             from ..config import default_dtype
 
@@ -265,11 +357,15 @@ class Problem:
         # optimizer/mod.rs:530-538 sorts variable names). The sort is
         # numeric-aware ("x2" < "x10") so trajectory naming keeps adjacent
         # poses in adjacent tangent columns — that ordering is what makes
-        # pose-graph normal equations banded (linalg/banded.py).
+        # pose-graph normal equations banded (linalg/banded.py). When the
+        # name order is NOT banded, ``ordering`` can apply a reverse
+        # Cuthill-McKee permutation to the column layout (pool rows stay
+        # name-sorted; only tangent columns move).
         names_sorted = sorted(self._manifold_of, key=_natural_key)
+        names_layout = self._ordered_names(names_sorted, ordering)
         col_of: Dict[str, int] = {}
         off = 0
-        for n in names_sorted:
+        for n in names_layout:
             col_of[n] = off
             off += get_manifold(self._manifold_of[n]).dof
         total_dof = off

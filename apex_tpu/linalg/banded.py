@@ -175,32 +175,58 @@ def _mm(a, b):
 
 def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                           stages: int = 5, refine: int = 1,
-                          base_blocks: int = 2):
+                          base_blocks: int = 2,
+                          recompute_l0: bool | None = None):
     """Core block-cyclic-reduction solve on block-tridiagonal storage:
     returns solve_blocks(Dg [n,m,m], Cg [n,m,m] (Cg[i] = A[i, i-1], Cg[0]
     zero), b [n,m], damping) -> x [n*m] solving (A + damping I) x = b, with
     the 5-stage escalating-regularization retry and ``refine`` rounds of
-    iterative refinement."""
+    iterative refinement.
+
+    ``recompute_l0``: do not stash the level-0 (L, X, Y, beta) — at
+    ~3*(n/2)*m*m elements that is the dominant term of CR's working set —
+    and instead recompute them during back-substitution from the level-0
+    inputs (which are function arguments, alive regardless). Costs one
+    extra batched cholesky + 3 triangular solves (~30% more solve flops at
+    level 0, a few ms) and nearly halves peak HBM, lifting the single-chip
+    loop-closure-span limit documented in doc/performance.md. Default
+    (None): on when the level-0 stash would exceed 128 MB."""
     n = -(-D // m)
     Dp = n * m
+    if recompute_l0 is None:
+        stash_bytes = 3 * (n // 2) * m * m * jnp.dtype(dtype).itemsize
+        recompute_l0 = stash_bytes > 128 * 2**20
+
+    def _elim_factors(Dg, Cg, bv):
+        """(L, X, Y, beta) of the odd-block elimination for one level
+        (inputs already odd-padded)."""
+        Dj = Dg[1::2]
+        L = jax.lax.linalg.cholesky(Dj)
+        Cj = Cg[1::2]
+        Cn = jnp.concatenate([Cg[2::2], jnp.zeros((1, m, m), dtype)])
+        X = jax.lax.linalg.triangular_solve(L, Cj, left_side=True, lower=True)
+        Y = jax.lax.linalg.triangular_solve(L, _bmt(Cn), left_side=True, lower=True)
+        beta = jax.lax.linalg.triangular_solve(
+            L, bv[1::2][..., None], left_side=True, lower=True)[..., 0]
+        return L, X, Y, beta
+
+    def _odd_pad(Dg, Cg, bv):
+        eye1 = jnp.eye(m, dtype=dtype)[None]
+        Dg = jnp.concatenate([Dg, eye1])
+        Cg = jnp.concatenate([Cg, jnp.zeros((1, m, m), dtype)])
+        bv = jnp.concatenate([bv, jnp.zeros((1, m), dtype)])
+        return Dg, Cg, bv
 
     def solve_once(Dg, Cg, bv):
+        args0 = (Dg, Cg, bv)  # level-0 inputs: alive regardless (fn args)
         levels = []
+        level = 0
         while Dg.shape[0] > base_blocks:
             nn = Dg.shape[0]
-            if nn % 2:
-                eye1 = jnp.eye(m, dtype=dtype)[None]
-                Dg = jnp.concatenate([Dg, eye1])
-                Cg = jnp.concatenate([Cg, jnp.zeros((1, m, m), dtype)])
-                bv = jnp.concatenate([bv, jnp.zeros((1, m), dtype)])
-            Dj = Dg[1::2]
-            L = jax.lax.linalg.cholesky(Dj)
-            Cj = Cg[1::2]
-            Cn = jnp.concatenate([Cg[2::2], jnp.zeros((1, m, m), dtype)])
-            X = jax.lax.linalg.triangular_solve(L, Cj, left_side=True, lower=True)
-            Y = jax.lax.linalg.triangular_solve(L, _bmt(Cn), left_side=True, lower=True)
-            beta = jax.lax.linalg.triangular_solve(
-                L, bv[1::2][..., None], left_side=True, lower=True)[..., 0]
+            padded = bool(nn % 2)
+            if padded:
+                Dg, Cg, bv = _odd_pad(Dg, Cg, bv)
+            L, X, Y, beta = _elim_factors(Dg, Cg, bv)
             De = Dg[0::2]
             De = De.at[:].add(-_mm(_bmt(X), X))
             De = De.at[1:].add(-(_mm(_bmt(Y), Y))[:-1])
@@ -209,8 +235,15 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
             be = bv[0::2]
             be = be.at[:].add(-(_mm(_bmt(X), beta[..., None]))[..., 0])
             be = be.at[1:].add(-(_mm(_bmt(Y), beta[..., None]))[..., 0][:-1])
-            levels.append((L, X, Y, beta))
+            if level == 0 and recompute_l0:
+                # drop the stash; back-substitution re-derives it from the
+                # ORIGINAL args (re-padding there if needed) so no padded
+                # copy stays alive either
+                levels.append(("recompute", padded))
+            else:
+                levels.append((L, X, Y, beta))
             Dg, Cg, bv = De, Ce, be
+            level += 1
         nb = Dg.shape[0]
         A = jnp.zeros((nb * m, nb * m), dtype)
         for i in range(nb):
@@ -220,7 +253,14 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                 A = A.at[(i - 1) * m:i * m, i * m:(i + 1) * m].set(_bmt(Cg[i]))
         cf = jax.scipy.linalg.cho_factor(A, lower=True)
         xe = jax.scipy.linalg.cho_solve(cf, bv.reshape(-1)).reshape(nb, m)
-        for (L, X, Y, beta) in reversed(levels):
+        for entry in reversed(levels):
+            if isinstance(entry, tuple) and entry[0] == "recompute":
+                d0, c0, b0 = args0
+                if entry[1]:
+                    d0, c0, b0 = _odd_pad(d0, c0, b0)
+                L, X, Y, beta = _elim_factors(d0, c0, b0)
+            else:
+                L, X, Y, beta = entry
             nb_ = X.shape[0]
             xnext = jnp.concatenate([xe[1:], jnp.zeros((1, m), dtype)])[:nb_]
             z = (beta - (_mm(X, xe[:nb_, :, None]))[..., 0]

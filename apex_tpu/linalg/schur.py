@@ -144,24 +144,51 @@ def landmark_inverse(Hpp):
 # Schur context over a CompiledProblem
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Schur context over a CompiledProblem
+# ---------------------------------------------------------------------------
+
+
+def _seg(vals, perm, idx_sorted, n):
+    """Pre-sorted segment-sum with a fusion barrier: XLA otherwise fuses the
+    permutation gather into the scatter, making its reads random (~5x slower
+    on TPU, see doc/performance.md)."""
+    v = jax.lax.optimization_barrier(vals[perm])
+    return jax.ops.segment_sum(v, idx_sorted, num_segments=n,
+                               indices_are_sorted=True)
+
 
 @dataclasses.dataclass
-class _CouplingMeta:
+class _MCoupling:
+    """Merged camera-entity <-> landmark coupling for one factor group.
+
+    Every factor in a group binds camera-side variables that all live in the
+    SAME camera entity (the union-find construction guarantees this), so the
+    group's per-observation coupling blocks merge into one [K, De, 3] array:
+    rows [loc_s : loc_s+ds] hold J_s^T J_lm for camera slot s. All W products
+    in the PCG hot loop then become ONE gather + ONE sorted segment-sum per
+    group (vs. one per (slot, group) pair), and the Schur-Jacobi
+    preconditioner captures the full entity diagonal block of S including
+    the pose<->intrinsics cross terms through the landmark (the reference's
+    per-camera blocks, implicit_schur.rs:456-575, lack those cross terms)."""
+
     group_idx: int
-    cam_slot: int
     lm_slot: int
-    ds: int
-    cam_base: jnp.ndarray  # [K] reduced col base of the camera-side var
-    cam_rows: jnp.ndarray  # [K] row of the camera-side var within its pool
-    cam_pool: int
-    lm_ids: jnp.ndarray  # [K] landmark id
+    cam_slots: tuple  # slot indices contributing rows to W
+    slot_loc: dict  # slot -> ("u", int l0) | ("v", [K] int32 per-factor loc)
+    ent_ids: jnp.ndarray  # [K] int32 camera-entity id per observation
+    lm_ids: jnp.ndarray  # [K] int32 landmark id per observation
+    perm_lm: jnp.ndarray  # [K] argsort by landmark
+    lm_sorted: jnp.ndarray
+    perm_ent: jnp.ndarray  # [K] argsort by entity
+    ent_sorted: jnp.ndarray
 
 
 class SchurContext:
     """Precomputed elimination structure + assembly/solve over a
     CompiledProblem. Landmark variables are those whose name starts with
     ``eliminate_prefix`` and live on a 3-DOF Euclidean manifold (the
-    reference's SchurOrdering rule)."""
+    reference's SchurOrdering rule, explicit_schur.rs:111-134)."""
 
     def __init__(
         self,
@@ -171,33 +198,46 @@ class SchurContext:
         preconditioner: str = "schur_jacobi",  # none | block_diagonal | schur_jacobi
         pcg_max_iterations: int = 200,
         pcg_tolerance: float = 1e-6,
+        pcg_forcing: bool = True,
+        pp_shift_floor: Optional[float] = None,
     ):
         self.cp = cp
         self.variant = variant
         self.preconditioner = preconditioner
         self.pcg_max_iterations = pcg_max_iterations
         self.pcg_tolerance = pcg_tolerance
+        self.pcg_forcing = pcg_forcing
+        f32 = jnp.dtype(cp.dtype) == jnp.float32
+        # f32 PCG stagnates around 1e-5 relative residual; asking for 1e-6
+        # just burns the full iteration budget every LM iteration (observed:
+        # 42.7 s vs 5.6 s explicit at ladybug-49 on TPU, round 1).
+        self.pcg_rtol_floor = (
+            max(pcg_tolerance, 3e-5) if f32 else pcg_tolerance
+        )
+        # Decoupled landmark-block shift floor: when Nielsen damping
+        # collapses (good steps -> lambda ~1e-9), weakly-observed landmark
+        # blocks become near-unregularized and their huge steps overwhelm
+        # f32 at venice scale (doc/performance.md round-1 notes). The floor
+        # bounds ||dxp_k|| <= ||g_k|| / floor independently of LM damping
+        # (Ceres caps the LM diagonal the same way, min_lm_diagonal).
+        if pp_shift_floor is None:
+            pp_shift_floor = 1e-4 if f32 else 0.0
+        self.pp_shift_floor = pp_shift_floor
 
         # --- classify variables ------------------------------------------
         D = cp.total_dof
         lm_id_of_global = {}  # global col -> landmark id
-        elim_pool_rows = []  # (pool_id, rows array, lm ids array)
         P = 0
         for pid, pool in enumerate(cp.pools):
             if pool.manifold.dof != 3 or pool.manifold.storage_dim != 3:
-                elim_pool_rows.append(None)
                 continue
             rows = [i for i, n in enumerate(pool.names) if n.startswith(eliminate_prefix)]
             if not rows:
-                elim_pool_rows.append(None)
                 continue
             cols = np.asarray(pool.cols)
-            ids = []
             for i in rows:
                 lm_id_of_global[int(cols[i])] = P
-                ids.append(P)
                 P += 1
-            elim_pool_rows.append((np.asarray(rows), np.asarray(ids)))
         self.num_landmarks = P
         if P == 0:
             raise ValueError(
@@ -275,6 +315,7 @@ class SchurContext:
         self._pad_diag = jnp.asarray(
             (1.0 - real_mask).reshape(E, De).astype(np.float64)
         )
+        self.pcg_iter_cap = int(min(pcg_max_iterations, max(self.Dc, 1)))
 
         # camera-side per-pool block info (for block preconditioners)
         self.cam_pools = []  # (pool_id, kept_rows [Nv], red_base [Nv], dof)
@@ -293,7 +334,9 @@ class SchurContext:
         self.slot_kind: List[List[str]] = []
         self.slot_red_base: List[List[Optional[jnp.ndarray]]] = []
         self.slot_lm_ids: List[List[Optional[jnp.ndarray]]] = []
-        self.couplings: List[_CouplingMeta] = []
+        self.mcouplings: List[_MCoupling] = []
+        self._mc_of_group = {}
+        lm_np_of_mc = []  # host-side copies for pair enumeration
         for gi, g in enumerate(cp.groups):
             kinds, bases, lmids = [], [], []
             for s in range(len(g.manifolds)):
@@ -319,22 +362,45 @@ class SchurContext:
             self.slot_kind.append(kinds)
             self.slot_red_base.append(bases)
             self.slot_lm_ids.append(lmids)
-            if lm_slots:
+            cam_slots = tuple(s for s, k in enumerate(kinds) if k == "cam")
+            if lm_slots and cam_slots:
                 t = lm_slots[0]
-                for s, k in enumerate(kinds):
-                    if k == "cam":
-                        self.couplings.append(
-                            _CouplingMeta(
-                                group_idx=gi,
-                                cam_slot=s,
-                                lm_slot=t,
-                                ds=g.manifolds[s].dof,
-                                cam_base=bases[s],
-                                cam_rows=g.indices[s],
-                                cam_pool=g.pool_ids[s],
-                                lm_ids=lmids[t],
-                            )
-                        )
+                # all camera slots of one factor share an entity (union-find)
+                ent = None
+                slot_loc = {}
+                for s in cam_slots:
+                    base = red_of_global[np.asarray(g.cols[s])]
+                    ent_s = base // De
+                    if ent is None:
+                        ent = ent_s
+                    elif not (ent_s == ent).all():
+                        raise AssertionError(
+                            "camera slots of one factor span entities")
+                    loc = base - ent_s * De
+                    if len(loc) == 0 or (loc == loc[0]).all():
+                        slot_loc[s] = ("u", int(loc[0]) if len(loc) else 0)
+                    else:
+                        slot_loc[s] = ("v", jnp.asarray(loc.astype(np.int32)))
+                lm = np.array(
+                    [lm_id_of_global[c] for c in np.asarray(g.cols[t])],
+                    dtype=np.int64,
+                )
+                perm_lm = np.argsort(lm, kind="stable")
+                perm_ent = np.argsort(ent, kind="stable")
+                self._mc_of_group[gi] = len(self.mcouplings)
+                lm_np_of_mc.append(lm)
+                self.mcouplings.append(_MCoupling(
+                    group_idx=gi,
+                    lm_slot=t,
+                    cam_slots=cam_slots,
+                    slot_loc=slot_loc,
+                    ent_ids=jnp.asarray(ent.astype(np.int32)),
+                    lm_ids=jnp.asarray(lm.astype(np.int32)),
+                    perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
+                    lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
+                    perm_ent=jnp.asarray(perm_ent.astype(np.int32)),
+                    ent_sorted=jnp.asarray(ent[perm_ent].astype(np.int32)),
+                ))
 
         # --- sorted-segment plans for assembly ------------------------------
         # every scatter-add in assemble() is replaced by a statically
@@ -349,7 +415,6 @@ class SchurContext:
                 n=num_segments,
             )
 
-        E, De = self.num_entities, self.entity_dof
         self._asm_plans = []
         for gi, g in enumerate(cp.groups):
             kinds = self.slot_kind[gi]
@@ -373,7 +438,7 @@ class SchurContext:
                     ls = loc_of[s]
                     uniform = (ls == ls[0]).all() if len(ls) else True
                     if uniform:
-                        plans["g"][s] = ("ent", _plan(ent_of[s], E), int(ls[0]))
+                        plans["g"][s] = ("ent", _plan(ent_of[s], E), int(ls[0]) if len(ls) else 0)
                     else:
                         base = red_of_global[np.asarray(g.cols[s])]
                         dest = base[:, None] + np.arange(ds_)
@@ -390,9 +455,8 @@ class SchurContext:
                             if len(ls) else True
                         )
                         if uniform:
-                            plans["hcc"][(s, t)] = (
-                                "ent", _plan(ent_of[s], E), (int(ls[0]), int(lt[0])),
-                            )
+                            l0 = (int(ls[0]), int(lt[0])) if len(ls) else (0, 0)
+                            plans["hcc"][(s, t)] = ("ent", _plan(ent_of[s], E), l0)
                         else:
                             bs = red_of_global[np.asarray(g.cols[s])]
                             bt = red_of_global[np.asarray(g.cols[t])]
@@ -409,64 +473,26 @@ class SchurContext:
                         plans["hpp"][(s, t)] = ("lm", _plan(lm, self.num_landmarks), None)
             self._asm_plans.append(plans)
 
-        # --- sorted-segment plans for the PCG hot loop ---------------------
-        # TPU scatter-add serializes on duplicate indices; pre-sorting the
-        # observation axis turns both W products into sorted segment-sums
-        # (the TPU-native form of the reference's visibility index,
-        # implicit_schur.rs:784-831).
-        self._seg_plans = []
-        for meta in self.couplings:
-            lm = np.asarray(meta.lm_ids)
-            perm_lm = np.argsort(lm, kind="stable")
-            base = np.asarray(meta.cam_base)
-            ent = base // De
-            loc = base - ent * De
-            uniform = (loc == loc[0]).all() if len(loc) else True
-            plan = dict(
-                perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
-                lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
-                uniform=bool(uniform),
-            )
-            if uniform:
-                perm_ent = np.argsort(ent, kind="stable")
-                plan["perm_ent"] = jnp.asarray(perm_ent.astype(np.int32))
-                plan["ent_sorted"] = jnp.asarray(ent[perm_ent].astype(np.int32))
-                plan["loc0"] = int(loc[0]) if len(loc) else 0
-            else:
-                colflat = (base[:, None] + np.arange(meta.ds)).reshape(-1)
-                perm_cam = np.argsort(colflat, kind="stable")
-                plan["perm_cam"] = jnp.asarray(perm_cam.astype(np.int32))
-                plan["col_sorted"] = jnp.asarray(colflat[perm_cam].astype(np.int32))
-                zdest = (
-                    ent[:, None, None] * (De * De)
-                    + (loc[:, None, None] + np.arange(meta.ds)[None, :, None]) * De
-                    + (loc[:, None, None] + np.arange(meta.ds)[None, None, :])
-                ).reshape(-1)
-                perm_z = np.argsort(zdest, kind="stable")
-                plan["perm_z"] = jnp.asarray(perm_z.astype(np.int32))
-                plan["z_sorted"] = jnp.asarray(zdest[perm_z].astype(np.int32))
-            self._seg_plans.append(plan)
-
         # --- static pair enumeration for the explicit variant -------------
         self.pair_indices = None
         if variant == "sparse":
-            self.pair_indices = self._enumerate_pairs()
+            self.pair_indices = self._enumerate_pairs(lm_np_of_mc)
 
-    def _enumerate_pairs(self):
-        """For each ordered coupling-record pair (A, B): indices (ia, ib) of
-        entries sharing a landmark — the per-landmark outer products of
-        explicit_schur.rs:771-925, enumerated statically."""
+    def _enumerate_pairs(self, lm_np_of_mc):
+        """For each ordered merged-coupling pair (A, B): indices (ia, ib) of
+        observations sharing a landmark — the per-landmark outer products of
+        explicit_schur.rs:771-925, enumerated statically over entity
+        blocks."""
         by_rec = []
-        for meta in self.couplings:
-            ids = np.asarray(meta.lm_ids)
+        for ids in lm_np_of_mc:
             order = np.argsort(ids, kind="stable")
             by_lm = {}
             for k in order:
                 by_lm.setdefault(int(ids[k]), []).append(int(k))
             by_rec.append(by_lm)
         pairs = []
-        for a, meta_a in enumerate(self.couplings):
-            for b, meta_b in enumerate(self.couplings):
+        for a in range(len(self.mcouplings)):
+            for b in range(len(self.mcouplings)):
                 ia, ib = [], []
                 common = set(by_rec[a]) & set(by_rec[b])
                 for lm in common:
@@ -482,10 +508,17 @@ class SchurContext:
 
     # ------------------------------------------------------------------
 
+    def _pp_shift(self, damping):
+        """Effective landmark-block diagonal shift: LM damping floored by
+        the decoupled landmark regularization floor."""
+        if self.pp_shift_floor > 0.0:
+            return jnp.maximum(damping, self.pp_shift_floor)
+        return damping
+
     def assemble(self, values, damping=None):
         """Linearize all groups and build (Hcc, gc, Hpp, gp, Ws, cost).
-        Hcc is batched entity blocks [E, De, De]; Ws[i] is the [K, ds, 3]
-        coupling block array for self.couplings[i]."""
+        Hcc is batched entity blocks [E, De, De]; Ws[i] is the merged
+        [K, De, 3] entity<->landmark coupling array for mcouplings[i]."""
         cp = self.cp
         dt = cp.dtype
         E, De = self.num_entities, self.entity_dof
@@ -494,28 +527,26 @@ class SchurContext:
         Hpp = jnp.zeros((self.num_landmarks, 3, 3), dtype=dt)
         gp = jnp.zeros((self.num_landmarks, 3), dtype=dt)
         cost = jnp.zeros((), dtype=dt)
-        Ws: List[Optional[jnp.ndarray]] = [None] * len(self.couplings)
-
-        coupling_of = {(m.group_idx, m.cam_slot): i for i, m in enumerate(self.couplings)}
+        Ws: List[Optional[jnp.ndarray]] = [None] * len(self.mcouplings)
 
         def seg_flat(plan, vals):
-            return jax.ops.segment_sum(
-                vals.reshape(-1)[plan["perm"]], plan["idx"],
-                num_segments=plan["n"], indices_are_sorted=True,
-            )
+            return _seg(vals.reshape(-1), plan["perm"], plan["idx"], plan["n"])
 
         def seg_rows(plan, vals):
             """Segment-sum [K, ...] blocks over a [K] id plan."""
-            return jax.ops.segment_sum(
-                vals[plan["perm"]], plan["idx"],
-                num_segments=plan["n"], indices_are_sorted=True,
-            )
+            return _seg(vals, plan["perm"], plan["idx"], plan["n"])
 
         for gi, g in enumerate(cp.groups):
             r, jacs = cp.group_linearize(values, g, True)
             cost = cost + 0.5 * jnp.sum(r * r)
             kinds = self.slot_kind[gi]
             plans = self._asm_plans[gi]
+            mci = self._mc_of_group.get(gi)
+            mc = self.mcouplings[mci] if mci is not None else None
+            W = (
+                jnp.zeros((g.count, De, 3), dtype=dt)
+                if mc is not None else None
+            )
             for s in range(len(g.manifolds)):
                 Js = jacs[s]
                 ds_ = g.manifolds[s].dof
@@ -533,6 +564,8 @@ class SchurContext:
                 for t in range(len(g.manifolds)):
                     Jt = jacs[t]
                     dt_ = g.manifolds[t].dof
+                    if kinds[s] == "lm" and kinds[t] == "cam":
+                        continue  # transpose of cam-lm; skip
                     Hst = _es("kdi,kdj->kij", Js, Jt)
                     if kinds[s] == "cam" and kinds[t] == "cam":
                         kind, plan, offs = plans["hcc"][(s, t)]
@@ -546,15 +579,23 @@ class SchurContext:
                         _, plan, _ = plans["hpp"][(s, t)]
                         Hpp = Hpp + seg_rows(plan, Hst)
                     elif kinds[s] == "cam" and kinds[t] == "lm":
-                        Ws[coupling_of[(gi, s)]] = Hst
-                    # lm-cam is the transpose of cam-lm; skip.
+                        lk, loc = mc.slot_loc[s]
+                        if lk == "u":
+                            W = W.at[:, loc : loc + ds_, :].add(Hst)
+                        else:
+                            rows = loc[:, None] + jnp.arange(ds_, dtype=loc.dtype)
+                            W = W.at[
+                                jnp.arange(g.count)[:, None], rows, :
+                            ].add(Hst)
+            if mc is not None:
+                Ws[mci] = W
 
         # pin padded dims so every downstream factorization is non-singular
         eye = jnp.eye(De, dtype=dt)
         Hcc = Hcc + self._pad_diag.astype(dt)[:, :, None] * eye
         if damping is not None:
             Hcc = Hcc + damping * eye
-            Hpp = Hpp + damping * jnp.eye(3, dtype=dt)
+            Hpp = Hpp + self._pp_shift(damping) * jnp.eye(3, dtype=dt)
         return Hcc, gc, Hpp, gp, Ws, cost
 
     def _hcc_dense(self, Hcc_blocks):
@@ -576,60 +617,40 @@ class SchurContext:
     # ------------------------------------------------------------------
 
     def _wt_x(self, Ws, xc):
-        """t_p = sum_k W_k^T xc[cam block k]  (gather + sorted segment-sum)."""
+        """t_p = sum_k W_k^T xc[entity block k]: one gather + one sorted
+        segment-sum per merged coupling."""
+        E, De = self.num_entities, self.entity_dof
+        xe = xc.reshape(E, De)
         t = jnp.zeros((self.num_landmarks, 3), dtype=xc.dtype)
-        for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
-            cols = meta.cam_base[:, None] + jnp.arange(meta.ds, dtype=meta.cam_base.dtype)
-            xb = xc[cols]  # [K, ds]
-            vals = _es("kij,ki->kj", W, xb)
-            t = t + jax.ops.segment_sum(
-                vals[plan["perm_lm"]], plan["lm_sorted"],
-                num_segments=self.num_landmarks, indices_are_sorted=True,
-            )
+        for mc, W in zip(self.mcouplings, Ws):
+            vals = _es("kij,ki->kj", W, xe[mc.ent_ids])  # [K, 3]
+            t = t + _seg(vals, mc.perm_lm, mc.lm_sorted, self.num_landmarks)
         return t
 
     def _w_u(self, Ws, u):
-        """y += sum_k W_k u[lm_k] via sorted segment-sum at camera columns."""
+        """y = sum_k W_k u[lm_k]: one gather + one sorted segment-sum per
+        merged coupling, landing directly on entity blocks."""
         E, De = self.num_entities, self.entity_dof
-        y = jnp.zeros((self.Dc,), dtype=u.dtype)
-        for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
-            sk = _es("kij,kj->ki", W, u[meta.lm_ids])
-            if plan["uniform"]:
-                s = jax.ops.segment_sum(
-                    sk[plan["perm_ent"]], plan["ent_sorted"],
-                    num_segments=E, indices_are_sorted=True,
-                )  # [E, ds]
-                l0 = plan["loc0"]
-                y = y.reshape(E, De).at[:, l0 : l0 + meta.ds].add(s).reshape(-1)
-            else:
-                y = y + jax.ops.segment_sum(
-                    sk.reshape(-1)[plan["perm_cam"]], plan["col_sorted"],
-                    num_segments=self.Dc, indices_are_sorted=True,
-                )
-        return y
+        y = jnp.zeros((E, De), dtype=u.dtype)
+        for mc, W in zip(self.mcouplings, Ws):
+            sk = _es("kij,kj->ki", W, u[mc.lm_ids])  # [K, De]
+            y = y + _seg(sk, mc.perm_ent, mc.ent_sorted, E)
+        return y.reshape(-1)
 
     def _entity_prec_inv(self, Hcc_blocks, Hpp_inv, Ws, schur_jacobi: bool):
-        """Entity-level block-diagonal preconditioner of S, inverted
-        (implicit_schur.rs:456-575 computes per-camera diag blocks of S;
-        here each block covers a full camera entity, e.g. pose+intrinsics,
-        which is a strictly stronger preconditioner)."""
+        """Entity-level block-diagonal preconditioner of S, inverted.
+        With merged couplings each subtracted block is the FULL De x De
+        entity diagonal block of W Hpp^-1 W^T — including pose<->intrinsics
+        cross terms — i.e. the exact diagonal block of S per entity
+        (strictly stronger than the reference's per-camera Schur-Jacobi,
+        implicit_schur.rs:456-575)."""
         E, De = self.num_entities, self.entity_dof
         acc = Hcc_blocks
         if schur_jacobi:
-            for meta, W, plan in zip(self.couplings, Ws, self._seg_plans):
-                Z = _es("kil,kml->kim", _es("kij,kjl->kil", W, Hpp_inv[meta.lm_ids]), W)
-                if plan["uniform"]:
-                    zsum = jax.ops.segment_sum(
-                        Z[plan["perm_ent"]], plan["ent_sorted"],
-                        num_segments=E, indices_are_sorted=True,
-                    )  # [E, ds, ds]
-                    l0 = plan["loc0"]
-                    acc = acc.at[:, l0 : l0 + meta.ds, l0 : l0 + meta.ds].add(-zsum)
-                else:
-                    acc = acc - jax.ops.segment_sum(
-                        Z.reshape(-1)[plan["perm_z"]], plan["z_sorted"],
-                        num_segments=E * De * De, indices_are_sorted=True,
-                    ).reshape(E, De, De)
+            for mc, W in zip(self.mcouplings, Ws):
+                Y = _es("kij,kjl->kil", W, Hpp_inv[mc.lm_ids])  # [K, De, 3]
+                Z = _es("kil,kml->kim", Y, W)  # [K, De, De]
+                acc = acc - _seg(Z, mc.perm_ent, mc.ent_sorted, E)
         from .utils import spd_clamped_inv
 
         return spd_clamped_inv(acc)
@@ -646,40 +667,64 @@ class SchurContext:
             y = y.at[cols].add(_es("kij,kj->ki", inv, x[cols]))
         return y
 
-    def _pcg(self, apply_S, apply_M, b):
+    @staticmethod
+    def _dot64(a, b):
+        """Inner product accumulated in f64 when x64 is live (PCG recurrence
+        scalars are the first thing f32 noise corrupts); falls back to the
+        input dtype otherwise."""
+        if jax.config.jax_enable_x64:
+            return _vdot(a.astype(jnp.float64), b.astype(jnp.float64))
+        return _vdot(a, b)
+
+    def _pcg(self, apply_S, apply_M, b, rtol=None, max_iter=None):
         """Block-preconditioned conjugate gradients (implicit_schur.rs:
-        577-679), in the accumulation dtype."""
-        tol2 = self.pcg_tolerance**2 * _vdot(b, b)
+        577-679). Recurrence dot products accumulate in f64; ``rtol`` may be
+        a traced scalar (forcing sequence)."""
+        if rtol is None:
+            rtol = self.pcg_rtol_floor
+        if max_iter is None:
+            max_iter = self.pcg_iter_cap
+        dot = self._dot64
+        bb = dot(b, b)
+        tol2 = jnp.asarray(rtol, bb.dtype) ** 2 * bb
 
         def cond(state):
             x, r, z, p, rz, it = state
-            return (_vdot(r, r) > tol2) & (it < self.pcg_max_iterations)
+            return (dot(r, r) > tol2) & (it < max_iter)
 
         def body(state):
             x, r, z, p, rz, it = state
             Sp = apply_S(p)
-            denom = _vdot(p, Sp)
-            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            denom = dot(p, Sp)
+            alpha = (rz / jnp.where(denom == 0, 1.0, denom)).astype(b.dtype)
             x = x + alpha * p
             r = r - alpha * Sp
             z = apply_M(r)
-            rz_new = _vdot(r, z)
-            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+            rz_new = dot(r, z)
+            beta = (rz_new / jnp.where(rz == 0, 1.0, rz)).astype(b.dtype)
             p = z + beta * p
             return (x, r, z, p, rz_new, it + 1)
 
         x0 = jnp.zeros_like(b)
         z0 = apply_M(b)
-        state = (x0, b, z0, z0, _vdot(b, z0), jnp.asarray(0, jnp.int32))
+        state = (x0, b, z0, z0, dot(b, z0), jnp.asarray(0, jnp.int32))
         x, r, *_ = jax.lax.while_loop(cond, body, state)
         return x
 
     # ------------------------------------------------------------------
 
-    def solve(self, values, damping):
+    def solve(self, values, damping, iteration=None):
         """One damped Schur solve: returns (dx_global [D], g_global [D],
-        cost)."""
+        cost, predicted_reduction).
+
+        ``predicted_reduction`` is the EXACT Gauss-Newton model reduction
+        -g.dx - 0.5 dx^T H dx evaluated with the actual (possibly inexact)
+        step — with truncated PCG the usual shortcut 0.5 dx^T (lambda dx - g)
+        assumes an exact solve and systematically under-predicts, driving
+        rho > 4 and collapsing Nielsen damping (round-1 venice NaN
+        mechanism). Costs two extra coupling products per LM iteration."""
         cp = self.cp
+        dt = cp.dtype
         Hcc, gc, Hpp, gp, Ws, cost = self.assemble(values, damping)
         Hpp_inv = landmark_inverse(Hpp)
 
@@ -688,27 +733,23 @@ class SchurContext:
         b = -gc + self._w_u(Ws, u_g)
 
         if self.variant == "sparse":
+            De = self.entity_dof
             S = self._hcc_dense(Hcc)
             Ys = [
-                _es("kij,kjl->kil", W, Hpp_inv[meta.lm_ids])
-                for meta, W in zip(self.couplings, Ws)
+                _es("kij,kjl->kil", W, Hpp_inv[mc.lm_ids])
+                for mc, W in zip(self.mcouplings, Ws)
             ]
             pi = 0
-            for a, meta_a in enumerate(self.couplings):
-                for bidx, meta_b in enumerate(self.couplings):
+            for a, mca in enumerate(self.mcouplings):
+                for bidx, mcb in enumerate(self.mcouplings):
                     ia, ib = self.pair_indices[pi]
                     pi += 1
                     if ia.shape[0] == 0:
                         continue
                     contrib = _es("pik,pjk->pij", Ys[a][ia], Ws[bidx][ib])
-                    rows = (
-                        meta_a.cam_base[ia][:, None]
-                        + jnp.arange(meta_a.ds, dtype=meta_a.cam_base.dtype)
-                    )[:, :, None]
-                    cols = (
-                        meta_b.cam_base[ib][:, None]
-                        + jnp.arange(meta_b.ds, dtype=meta_b.cam_base.dtype)
-                    )[:, None, :]
+                    ar = jnp.arange(De, dtype=jnp.int32)
+                    rows = (mca.ent_ids[ia][:, None] * De + ar)[:, :, None]
+                    cols = (mcb.ent_ids[ib][:, None] * De + ar)[:, None, :]
                     S = S.at[
                         jnp.broadcast_to(rows, contrib.shape),
                         jnp.broadcast_to(cols, contrib.shape),
@@ -728,16 +769,45 @@ class SchurContext:
                     schur_jacobi=(self.preconditioner == "schur_jacobi"),
                 )
                 apply_M = lambda x: self._entity_prec_apply(inv_blocks, x)  # noqa: E731
-            dxc = self._pcg(apply_S, apply_M, b)
+
+            rtol = self.pcg_rtol_floor
+            if self.pcg_forcing and iteration is not None:
+                # forcing sequence: loose solves while LM is far from the
+                # optimum, tightening geometrically toward the floor
+                # (Eisenstat-Walker in spirit; deterministic so the whole
+                # solve stays a single jitted while_loop).
+                k = jnp.asarray(iteration, dt)
+                rtol = jnp.clip(0.1 * jnp.exp2(-k), self.pcg_rtol_floor, 0.1)
+            dxc = self._pcg(apply_S, apply_M, b, rtol=rtol)
 
         # back-substitution: dxp = Hpp^-1 (-gp - W^T dxc)
         t = self._wt_x(Ws, dxc)
         dxp = _es("kij,kj->ki", Hpp_inv, -gp - t)
 
+        # exact model reduction with the actual step (see docstring):
+        # q = dx^T H dx via the damped blocks minus the diagonal shifts.
+        dot = self._dot64
+        Hdxc = self._hcc_matvec(Hcc, dxc)
+        Wdxp = self._w_u(Ws, dxp)
+        Hpp_dxp = _es("kij,kj->ki", Hpp, dxp)
+        q_damped = (
+            dot(dxc, Hdxc)
+            + 2.0 * dot(dxc, Wdxp)
+            + dot(dxp.reshape(-1), Hpp_dxp.reshape(-1))
+        )
+        shift = self._pp_shift(damping)
+        q = (
+            q_damped
+            - damping * dot(dxc, dxc)
+            - shift * dot(dxp.reshape(-1), dxp.reshape(-1))
+        )
+        g_dot_dx = dot(gc, dxc) + dot(gp.reshape(-1), dxp.reshape(-1))
+        predicted = (-g_dot_dx - 0.5 * q).astype(dt)
+
         # scatter back to the global tangent layout
         D = cp.total_dof
-        dx = jnp.zeros((D,), dtype=cp.dtype)
-        g_full = jnp.zeros((D,), dtype=cp.dtype)
+        dx = jnp.zeros((D,), dtype=dt)
+        g_full = jnp.zeros((D,), dtype=dt)
         kept = np.nonzero(self.red_of_global >= 0)[0]
         kept32 = jnp.asarray(kept.astype(np.int32))
         red32 = jnp.asarray(self.red_of_global[kept].astype(np.int32))
@@ -749,4 +819,4 @@ class SchurContext:
         lm_cols3 = jnp.asarray(lm_cols)[:, None] + jnp.arange(3, dtype=np.int32)
         dx = dx.at[lm_cols3].set(dxp[jnp.asarray(lm_ids_sorted)])
         g_full = g_full.at[lm_cols3].set(gp[jnp.asarray(lm_ids_sorted)])
-        return dx, g_full, cost
+        return dx, g_full, cost, predicted

@@ -79,7 +79,7 @@ class GaussNewton(LevenbergMarquardt):
         zero = 0.0
 
         def step(values, damping, nu, current_cost, iteration, jacobi_scale):
-            dx, g, current_cost, scale = solve_fn(values, zero, iteration, jacobi_scale)
+            dx, g, current_cost, scale, _ = solve_fn(values, zero, iteration, jacobi_scale)
             gradient_norm = jnp.linalg.norm(g)
             step_norm = jnp.linalg.norm(dx)
 

@@ -63,6 +63,13 @@ class LevenbergMarquardtConfig:
     schur_preconditioner: str = "schur_jacobi"  # none | block_diagonal | schur_jacobi
     pcg_max_iterations: int = 200
     pcg_tolerance: float = 1e-6
+    # Forcing sequence for the implicit-Schur PCG: loose solves on early LM
+    # iterations, tightening geometrically to pcg_tolerance (floored by the
+    # f32 stagnation limit). Cuts wasted PCG iterations dramatically.
+    pcg_forcing: bool = True
+    # Decoupled landmark-block shift floor (None = dtype default: 1e-4 in
+    # f32, 0 in f64) — see SchurContext.pp_shift_floor.
+    schur_pp_shift_floor: Optional[float] = None
     # Panel override for banded_cholesky/sparse_cholesky (None = auto: at
     # least the block bandwidth, at least total_dof/16, lane-aligned).
     banded_panel: int | None = None
@@ -145,11 +152,14 @@ class LevenbergMarquardt:
                 preconditioner=cfg.schur_preconditioner,
                 pcg_max_iterations=cfg.pcg_max_iterations,
                 pcg_tolerance=cfg.pcg_tolerance,
+                pcg_forcing=cfg.pcg_forcing,
+                pp_shift_floor=cfg.schur_pp_shift_floor,
             )
 
             def solve_schur(values, damping, iteration, jacobi_scale):
-                dx, g, cost = ctx.solve(values, damping)
-                return dx, g, cost, jacobi_scale
+                dx, g, cost, predicted = ctx.solve(values, damping,
+                                                   iteration=iteration)
+                return dx, g, cost, jacobi_scale, predicted
 
             return solve_schur
 
@@ -163,7 +173,7 @@ class LevenbergMarquardt:
 
             def solve_pcg(values, damping, iteration, jacobi_scale):
                 dx, g, cost = it_solver.solve(values, damping)
-                return dx, g, cost, jacobi_scale
+                return dx, g, cost, jacobi_scale, None
 
             return solve_pcg
 
@@ -185,7 +195,7 @@ class LevenbergMarquardt:
                 dx = dense_linalg.solve_qr(r, J, damping)
                 if cfg.use_jacobi_scaling:
                     dx = dx * scale
-                return dx, g, cost, scale
+                return dx, g, cost, scale, None
 
             return solve_qr_fn
 
@@ -218,7 +228,7 @@ class LevenbergMarquardt:
                 dx = core(Dg, Cg, bp, damping)[:D]
                 if cfg.use_jacobi_scaling:
                     dx = dx * scale
-                return dx, gv, cost, scale
+                return dx, gv, cost, scale, None
 
             return solve_banded
 
@@ -237,7 +247,7 @@ class LevenbergMarquardt:
             dx = dense_linalg.solve_cholesky_with_retry(H, g, damping)
             if cfg.use_jacobi_scaling:
                 dx = dx * scale
-            return dx, g, cost, scale
+            return dx, g, cost, scale, None
 
         return solve_chol
 
@@ -247,12 +257,17 @@ class LevenbergMarquardt:
         solve_fn = self._make_solve_fn(cp)
 
         def step(values, damping, nu, current_cost, iteration, jacobi_scale):
-            dx, g, current_cost, scale = solve_fn(values, damping, iteration, jacobi_scale)
+            dx, g, current_cost, scale, predicted = solve_fn(
+                values, damping, iteration, jacobi_scale
+            )
             gradient_norm = jnp.linalg.norm(g)
             step_norm = jnp.linalg.norm(dx)
 
-            # predicted = 0.5 * step^T (lambda*step - g)  (lm.rs:721-727)
-            predicted = 0.5 * jnp.sum(dx * (damping * dx - g))
+            if predicted is None:
+                # exact-solve shortcut 0.5 step^T (lambda*step - g)
+                # (lm.rs:721-727); iterative solvers return the exact model
+                # reduction instead (see SchurContext.solve).
+                predicted = 0.5 * jnp.sum(dx * (damping * dx - g))
 
             new_values = cp.apply_step(values, dx)
             new_cost = cp.cost(new_values)
@@ -448,56 +463,79 @@ class LevenbergMarquardt:
 
     # ------------------------------------------------------------------
     def _optimize_jit(self, cp: CompiledProblem) -> SolverResult:
-        """Whole solve in one lax.while_loop (no host round-trips)."""
+        """Whole solve in lax.while_loop dispatches (no per-iteration host
+        round-trips). With ``timeout`` set, the loop runs in iteration
+        chunks with a host wall-clock check between dispatches (the
+        reference's in-loop timeout termination, optimizer/mod.rs:602-607;
+        a device loop cannot read the clock)."""
         cfg = self.config
         key = id(cp)
-        if key in self._run_cache:
-            start = time.perf_counter()
-            return self._finish_jit(cp, start, *self._run_cache[key](cp.initial_values()))
-        step_fn = self._make_step_fn(cp)
-
-        def body(state):
-            (values, damping, nu, cost, iteration, _, jacobi_scale, stats) = state
-            values, damping, nu, cost, status, jacobi_scale, metrics = step_fn(
-                values, damping, nu, cost, iteration, jacobi_scale
-            )
-            stats = dict(
-                gradient_norm=metrics["gradient_norm"],
-                step_norm=metrics["step_norm"],
-                rho=metrics["rho"],
-                n_success=stats["n_success"] + metrics["accepted"].astype(jnp.int32),
-                n_fail=stats["n_fail"] + (~metrics["accepted"]).astype(jnp.int32),
-            )
-            return (values, damping, nu, cost, iteration + 1, status, jacobi_scale, stats)
-
-        def cond(state):
-            return state[5] == Status.RUNNING
-
-        @jax.jit
-        def run(values):
-            cost0 = cp.cost(values)
-            init = (
-                values,
-                self._init_damping_state(cp),
-                jnp.asarray(2.0, dtype=cp.dtype),
-                cost0,
-                jnp.asarray(0, jnp.int32),
-                jnp.asarray(Status.RUNNING, jnp.int32),
-                jnp.ones((cp.total_dof,), dtype=cp.dtype),
-                dict(
-                    gradient_norm=jnp.asarray(jnp.nan, cp.dtype),
-                    step_norm=jnp.asarray(jnp.nan, cp.dtype),
-                    rho=jnp.asarray(jnp.nan, cp.dtype),
-                    n_success=jnp.asarray(0, jnp.int32),
-                    n_fail=jnp.asarray(0, jnp.int32),
-                ),
-            )
-            final = jax.lax.while_loop(cond, body, init)
-            return cost0, final
-
-        self._run_cache[key] = run
         start = time.perf_counter()
-        return self._finish_jit(cp, start, *run(cp.initial_values()))
+        if key not in self._run_cache:
+            step_fn = self._make_step_fn(cp)
+
+            def body(state):
+                (values, damping, nu, cost, iteration, _, jacobi_scale, stats) = state
+                values, damping, nu, cost, status, jacobi_scale, metrics = step_fn(
+                    values, damping, nu, cost, iteration, jacobi_scale
+                )
+                stats = dict(
+                    gradient_norm=metrics["gradient_norm"],
+                    step_norm=metrics["step_norm"],
+                    rho=metrics["rho"],
+                    n_success=stats["n_success"] + metrics["accepted"].astype(jnp.int32),
+                    n_fail=stats["n_fail"] + (~metrics["accepted"]).astype(jnp.int32),
+                )
+                return (values, damping, nu, cost, iteration + 1, status, jacobi_scale, stats)
+
+            @jax.jit
+            def init_state(values):
+                cost0 = cp.cost(values)
+                return cost0, (
+                    values,
+                    self._init_damping_state(cp),
+                    jnp.asarray(2.0, dtype=cp.dtype),
+                    cost0,
+                    jnp.asarray(0, jnp.int32),
+                    jnp.asarray(Status.RUNNING, jnp.int32),
+                    jnp.ones((cp.total_dof,), dtype=cp.dtype),
+                    dict(
+                        gradient_norm=jnp.asarray(jnp.nan, cp.dtype),
+                        step_norm=jnp.asarray(jnp.nan, cp.dtype),
+                        rho=jnp.asarray(jnp.nan, cp.dtype),
+                        n_success=jnp.asarray(0, jnp.int32),
+                        n_fail=jnp.asarray(0, jnp.int32),
+                    ),
+                )
+
+            @jax.jit
+            def run_until(state, iter_cap):
+                def cond(s):
+                    return (s[5] == Status.RUNNING) & (s[4] < iter_cap)
+
+                return jax.lax.while_loop(cond, body, state)
+
+            self._run_cache[key] = (init_state, run_until)
+
+        init_state, run_until = self._run_cache[key]
+        cost0, state = init_state(cp.initial_values())
+        if cfg.timeout is None:
+            state = run_until(state, jnp.asarray(cfg.max_iterations + 1, jnp.int32))
+        else:
+            # ~8 host checks across the budget; each inter-chunk sync costs
+            # one dispatch round trip, negligible next to an LM iteration.
+            chunk = max(1, -(-cfg.max_iterations // 8))
+            done = 0
+            while True:
+                done = min(done + chunk, cfg.max_iterations)
+                state = run_until(state, jnp.asarray(done, jnp.int32))
+                status = int(state[5])
+                if status != Status.RUNNING:
+                    break
+                if time.perf_counter() - start >= cfg.timeout:
+                    state = state[:5] + (jnp.asarray(Status.TIMEOUT, jnp.int32),) + state[6:]
+                    break
+        return self._finish_jit(cp, start, cost0, state)
 
     def _finish_jit(self, cp: CompiledProblem, start, cost0, final) -> SolverResult:
         # One batched device->host transfer for the whole result tree: per-

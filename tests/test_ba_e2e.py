@@ -95,8 +95,10 @@ def test_ba_self_calibration_converges(small_ba, solver):
 
 def test_schur_solvers_agree_with_dense(small_ba):
     r_dense = _solve(small_ba, "dense_cholesky")
+    # forcing disabled: the agreement check wants exact solves (the forcing
+    # sequence takes a slightly different LM path by design)
     r_imp = _solve(small_ba, "schur_implicit", pcg_tolerance=1e-10,
-                   pcg_max_iterations=500)
+                   pcg_max_iterations=500, pcg_forcing=False)
     r_exp = _solve(small_ba, "schur_explicit")
     np.testing.assert_allclose(r_exp.final_cost, r_dense.final_cost, rtol=1e-6)
     np.testing.assert_allclose(r_imp.final_cost, r_dense.final_cost, rtol=1e-6)

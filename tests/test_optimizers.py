@@ -160,3 +160,21 @@ def test_pcg_solver_se2_with_loss():
     res = apx.LevenbergMarquardt(cfg).optimize(g.to_problem(loss=apx.HuberLoss(1.0)))
     assert res.converged
     assert res.final_cost < 0.15 * res.initial_cost
+
+
+def test_jit_mode_timeout():
+    """mode="jit" must honor the wall-clock timeout (reference
+    optimizer/mod.rs:602-607) — round 1 could spin to max_iterations."""
+    import apex_tpu as apx
+    from apex_tpu.io import synthetic
+    from apex_tpu.optim.common import Status
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=60, rings=4, seed=0)
+    cp = g.to_problem().compile()
+    cfg = apx.LevenbergMarquardtConfig(
+        mode="jit", max_iterations=10_000, cost_tolerance=0.0,
+        parameter_tolerance=0.0, gradient_tolerance=0.0, timeout=0.0,
+    )
+    res = apx.LevenbergMarquardt(cfg).optimize(cp)
+    assert res.status == Status.TIMEOUT
+    assert res.iterations < 10_000
