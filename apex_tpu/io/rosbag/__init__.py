@@ -86,16 +86,24 @@ class Writer:
     """Writes a rosbag2-layout bag directory: <name>/<name>_0.<ext> +
     metadata.yaml."""
 
-    def __init__(self, path, storage: str = "sqlite3"):
+    def __init__(self, path, storage: str = "sqlite3",
+                 compression: Optional[str] = None):
+        """``compression`` ("zstd"/"zlib"; mcap storage only) writes the
+        data section as compressed chunks (reference types.rs:176-190)."""
         self.dir = pathlib.Path(path)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.storage_kind = storage
         ext = {"sqlite3": "db3", "mcap": "mcap"}[storage]
         self.data_file = self.dir / f"{self.dir.name}_0.{ext}"
         if storage == "sqlite3":
+            if compression:
+                raise ValueError(
+                    "compression is supported for mcap storage only "
+                    "(rosbag2 sqlite3 bags are uncompressed)"
+                )
             self.storage = SqliteStorageWriter(self.data_file)
         else:
-            self.storage = McapStorageWriter(self.data_file)
+            self.storage = McapStorageWriter(self.data_file, compression=compression)
         self._topics: Dict[str, Dict] = {}
         self._count = 0
         self._t_min = None

@@ -6,10 +6,12 @@ mcap.rs). Implements the MCAP v0 container format directly:
     <magic> Header (Schema | Channel | Message | Chunk)* DataEnd
     (summary section records)* Footer <magic>
 
-Writer emits an unchunked, uncompressed stream with a summary section
-(Schema/Channel/Statistics) and a valid Footer. Reader handles unchunked
-records plus uncompressed ("" / "none") and zlib chunks; lz4/zstd chunks
-raise a clear error (those codecs aren't available in this environment).
+Writer emits a summary section (Schema/Channel/Statistics) and a valid
+Footer; the data section is either an unchunked stream (default) or
+compressed chunks (``compression="zstd"|"zlib"|"lz4"``, matching the
+reference's zstd chunk writing in rosbag/types.rs:176-190). Reader
+handles unchunked records plus uncompressed ("" / "none"), zlib, zstd,
+and (when the lz4 package exists) lz4 chunks.
 """
 
 from __future__ import annotations
@@ -18,6 +20,45 @@ import pathlib
 import struct
 import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
+
+
+def _zstd():
+    import zstandard
+
+    return zstandard
+
+
+def _compress(compression: str, raw: bytes) -> bytes:
+    if compression == "zstd":
+        return _zstd().ZstdCompressor().compress(raw)
+    if compression == "zlib":
+        return zlib.compress(raw)
+    if compression == "lz4":  # pragma: no cover - lz4 not in this image
+        import lz4.frame
+
+        return lz4.frame.compress(raw)
+    raise ValueError(f"unsupported MCAP chunk compression {compression!r}")
+
+
+def _decompress(compression: str, payload: bytes, uncompressed_size: int) -> bytes:
+    if compression in ("", "none"):
+        return payload
+    if compression == "zstd":
+        return _zstd().ZstdDecompressor().decompress(
+            payload, max_output_size=uncompressed_size
+        )
+    if compression == "zlib":
+        return zlib.decompress(payload)
+    if compression == "lz4":  # pragma: no cover - lz4 not in this image
+        try:
+            import lz4.frame
+        except ImportError as e:
+            raise NotImplementedError(
+                "MCAP lz4 chunks need the lz4 package (not in this image); "
+                "re-write the bag with zstd/zlib compression"
+            ) from e
+        return lz4.frame.decompress(payload)
+    raise NotImplementedError(f"MCAP chunk compression {compression!r} not supported")
 
 MAGIC = b"\x89MCAP0\r\n"
 
@@ -101,8 +142,21 @@ class _Cursor:
 
 
 class McapStorageWriter:
-    def __init__(self, path, profile: str = "ros2", library: str = "apex_tpu"):
+    """``compression=None`` writes a plain unchunked stream; "zstd" /
+    "zlib" / "lz4" buffer messages into chunks of ~``chunk_size`` bytes
+    of uncompressed records and write each as a compressed Chunk record
+    (reference types.rs:176-190)."""
+
+    def __init__(self, path, profile: str = "ros2", library: str = "apex_tpu",
+                 compression: Optional[str] = None, chunk_size: int = 1 << 20):
         self.path = pathlib.Path(path)
+        self.compression = None if compression in (None, "", "none") else compression
+        if self.compression is not None:
+            _compress(self.compression, b"")  # fail fast on unknown codec
+        self.chunk_size = chunk_size
+        self._chunk_buf = bytearray()
+        self._chunk_start: Optional[int] = None
+        self._chunk_end: Optional[int] = None
         self.f = open(self.path, "wb")
         self.f.write(MAGIC)
         self.f.write(_record(OP_HEADER, _pstr(profile) + _pstr(library)))
@@ -112,6 +166,20 @@ class McapStorageWriter:
         self._schema_records: List[bytes] = []
         self._msg_count = 0
         self._seq: Dict[int, int] = {}
+
+    def _flush_chunk(self):
+        if not self._chunk_buf:
+            return
+        raw = bytes(self._chunk_buf)
+        payload = _compress(self.compression, raw)
+        rec = (
+            _u64(self._chunk_start or 0) + _u64(self._chunk_end or 0)
+            + _u64(len(raw)) + _u32(zlib.crc32(raw))
+            + _pstr(self.compression) + _u64(len(payload)) + payload
+        )
+        self.f.write(_record(OP_CHUNK, rec))
+        self._chunk_buf.clear()
+        self._chunk_start = self._chunk_end = None
 
     def add_topic(self, name: str, type_name: str, qos: str = "") -> int:
         if name in self._channel_ids:
@@ -140,15 +208,24 @@ class McapStorageWriter:
         cid = self._channel_ids[topic_name]
         seq = self._seq.get(cid, 0)
         self._seq[cid] = seq + 1
-        self.f.write(
-            _record(
-                OP_MESSAGE,
-                _u16(cid) + _u32(seq) + _u64(timestamp_ns) + _u64(timestamp_ns) + data,
-            )
+        rec = _record(
+            OP_MESSAGE,
+            _u16(cid) + _u32(seq) + _u64(timestamp_ns) + _u64(timestamp_ns) + data,
         )
+        if self.compression is not None:
+            self._chunk_buf += rec
+            if self._chunk_start is None:
+                self._chunk_start = timestamp_ns
+            self._chunk_end = max(self._chunk_end or 0, timestamp_ns)
+            if len(self._chunk_buf) >= self.chunk_size:
+                self._flush_chunk()
+        else:
+            self.f.write(rec)
         self._msg_count += 1
 
     def close(self):
+        if self.compression is not None:
+            self._flush_chunk()
         self.f.write(_record(OP_DATA_END, _u32(0)))
         summary_start = self.f.tell()
         for rec in self._schema_records + self._channel_records:
@@ -204,15 +281,7 @@ class McapStorageReader:
                 compression = body.string()
                 rec_size = body.u64()
                 payload = body.raw(rec_size)
-                if compression in ("", "none"):
-                    inner = payload
-                elif compression == "zlib":
-                    inner = zlib.decompress(payload)
-                else:
-                    raise NotImplementedError(
-                        f"MCAP chunk compression {compression!r} not supported "
-                        f"in this environment (no lz4/zstd)"
-                    )
+                inner = _decompress(compression, payload, uncompressed_size)
                 ic = _Cursor(inner)
                 self._parse_records(ic, len(inner))
             elif op == OP_DATA_END:

@@ -55,6 +55,34 @@ register("std_msgs/msg/MultiArrayDimension", [
 register("std_msgs/msg/ColorRGBA", [
     ("r", "float32"), ("g", "float32"), ("b", "float32"), ("a", "float32"),
 ])
+# ROS2 scalar wrappers ("byte" is an octet, "char" a uint8 in ROS2 IDL;
+# Empty carries the DDS dummy member, matching the Python rosbags layout).
+register("std_msgs/msg/Byte", [("data", "uint8")])
+register("std_msgs/msg/Char", [("data", "uint8")])
+register("std_msgs/msg/Empty", [("structure_needs_at_least_one_member", "uint8")])
+register("std_msgs/msg/Int8", [("data", "int8")])
+register("std_msgs/msg/Int16", [("data", "int16")])
+register("std_msgs/msg/UInt8", [("data", "uint8")])
+register("std_msgs/msg/UInt16", [("data", "uint16")])
+register("std_msgs/msg/UInt32", [("data", "uint32")])
+register("std_msgs/msg/UInt64", [("data", "uint64")])
+
+def _multi_array(name: str, elem: str):
+    register(f"std_msgs/msg/{name}", [
+        ("layout", "std_msgs/msg/MultiArrayLayout"),
+        ("data", ("sequence", elem)),
+    ])
+
+_multi_array("ByteMultiArray", "uint8")
+_multi_array("Float32MultiArray", "float32")
+_multi_array("Int8MultiArray", "int8")
+_multi_array("Int16MultiArray", "int16")
+_multi_array("Int32MultiArray", "int32")
+_multi_array("Int64MultiArray", "int64")
+_multi_array("UInt8MultiArray", "uint8")
+_multi_array("UInt16MultiArray", "uint16")
+_multi_array("UInt32MultiArray", "uint32")
+_multi_array("UInt64MultiArray", "uint64")
 
 # --- geometry_msgs ----------------------------------------------------------
 register("geometry_msgs/msg/Vector3", [("x", "float64"), ("y", "float64"), ("z", "float64")])
@@ -127,6 +155,43 @@ register("geometry_msgs/msg/Wrench", [
     ("force", "geometry_msgs/msg/Vector3"),
     ("torque", "geometry_msgs/msg/Vector3"),
 ])
+register("geometry_msgs/msg/AccelStamped", [
+    ("header", "std_msgs/msg/Header"),
+    ("accel", "geometry_msgs/msg/Accel"),
+])
+register("geometry_msgs/msg/AccelWithCovariance", [
+    ("accel", "geometry_msgs/msg/Accel"),
+    ("covariance", ("array", "float64", 36)),
+])
+register("geometry_msgs/msg/AccelWithCovarianceStamped", [
+    ("header", "std_msgs/msg/Header"),
+    ("accel", "geometry_msgs/msg/AccelWithCovariance"),
+])
+register("geometry_msgs/msg/Inertia", [
+    ("m", "float64"),
+    ("com", "geometry_msgs/msg/Vector3"),
+    ("ixx", "float64"), ("ixy", "float64"), ("ixz", "float64"),
+    ("iyy", "float64"), ("iyz", "float64"), ("izz", "float64"),
+])
+register("geometry_msgs/msg/InertiaStamped", [
+    ("header", "std_msgs/msg/Header"),
+    ("inertia", "geometry_msgs/msg/Inertia"),
+])
+register("geometry_msgs/msg/Polygon", [
+    ("points", ("sequence", "geometry_msgs/msg/Point32")),
+])
+register("geometry_msgs/msg/PolygonStamped", [
+    ("header", "std_msgs/msg/Header"),
+    ("polygon", "geometry_msgs/msg/Polygon"),
+])
+register("geometry_msgs/msg/TwistWithCovarianceStamped", [
+    ("header", "std_msgs/msg/Header"),
+    ("twist", "geometry_msgs/msg/TwistWithCovariance"),
+])
+register("geometry_msgs/msg/WrenchStamped", [
+    ("header", "std_msgs/msg/Header"),
+    ("wrench", "geometry_msgs/msg/Wrench"),
+])
 
 # --- nav_msgs ---------------------------------------------------------------
 register("nav_msgs/msg/Odometry", [
@@ -150,6 +215,11 @@ register("nav_msgs/msg/OccupancyGrid", [
     ("header", "std_msgs/msg/Header"),
     ("info", "nav_msgs/msg/MapMetaData"),
     ("data", ("sequence", "int8")),
+])
+register("nav_msgs/msg/GridCells", [
+    ("header", "std_msgs/msg/Header"),
+    ("cell_width", "float32"), ("cell_height", "float32"),
+    ("cells", ("sequence", "geometry_msgs/msg/Point")),
 ])
 
 # --- sensor_msgs ------------------------------------------------------------
@@ -260,9 +330,74 @@ register("sensor_msgs/msg/BatteryState", [
     ("location", "string"), ("serial_number", "string"),
 ])
 
+register("sensor_msgs/msg/ChannelFloat32", [
+    ("name", "string"),
+    ("values", ("sequence", "float32")),
+])
+register("sensor_msgs/msg/PointCloud", [
+    ("header", "std_msgs/msg/Header"),
+    ("points", ("sequence", "geometry_msgs/msg/Point32")),
+    ("channels", ("sequence", "sensor_msgs/msg/ChannelFloat32")),
+])
+register("sensor_msgs/msg/Illuminance", [
+    ("header", "std_msgs/msg/Header"),
+    ("illuminance", "float64"), ("variance", "float64"),
+])
+register("sensor_msgs/msg/RelativeHumidity", [
+    ("header", "std_msgs/msg/Header"),
+    ("relative_humidity", "float64"), ("variance", "float64"),
+])
+register("sensor_msgs/msg/Joy", [
+    ("header", "std_msgs/msg/Header"),
+    ("axes", ("sequence", "float32")),
+    ("buttons", ("sequence", "int32")),
+])
+register("sensor_msgs/msg/JoyFeedback", [
+    ("type", "uint8"), ("id", "uint8"), ("intensity", "float32"),
+])
+register("sensor_msgs/msg/JoyFeedbackArray", [
+    ("array", ("sequence", "sensor_msgs/msg/JoyFeedback")),
+])
+register("sensor_msgs/msg/LaserEcho", [
+    ("echoes", ("sequence", "float32")),
+])
+register("sensor_msgs/msg/MultiEchoLaserScan", [
+    ("header", "std_msgs/msg/Header"),
+    ("angle_min", "float32"), ("angle_max", "float32"), ("angle_increment", "float32"),
+    ("time_increment", "float32"), ("scan_time", "float32"),
+    ("range_min", "float32"), ("range_max", "float32"),
+    ("ranges", ("sequence", "sensor_msgs/msg/LaserEcho")),
+    ("intensities", ("sequence", "sensor_msgs/msg/LaserEcho")),
+])
+register("sensor_msgs/msg/MultiDOFJointState", [
+    ("header", "std_msgs/msg/Header"),
+    ("joint_names", ("sequence", "string")),
+    ("transforms", ("sequence", "geometry_msgs/msg/Transform")),
+    ("twist", ("sequence", "geometry_msgs/msg/Twist")),
+    ("wrench", ("sequence", "geometry_msgs/msg/Wrench")),
+])
+register("sensor_msgs/msg/TimeReference", [
+    ("header", "std_msgs/msg/Header"),
+    ("time_ref", "builtin_interfaces/msg/Time"),
+    ("source", "string"),
+])
+
+# --- stereo_msgs ------------------------------------------------------------
+register("stereo_msgs/msg/DisparityImage", [
+    ("header", "std_msgs/msg/Header"),
+    ("image", "sensor_msgs/msg/Image"),
+    ("f", "float32"), ("t", "float32"),
+    ("valid_window", "sensor_msgs/msg/RegionOfInterest"),
+    ("min_disparity", "float32"), ("max_disparity", "float32"),
+    ("delta_d", "float32"),
+])
+
 # --- tf2_msgs ---------------------------------------------------------------
 register("tf2_msgs/msg/TFMessage", [
     ("transforms", ("sequence", "geometry_msgs/msg/TransformStamped")),
+])
+register("tf2_msgs/msg/TF2Error", [
+    ("error", "uint8"), ("error_string", "string"),
 ])
 
 # --- diagnostic_msgs --------------------------------------------------------

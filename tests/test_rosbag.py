@@ -194,14 +194,72 @@ def test_writer_unknown_topic_raises(tmp_path):
 
 
 def test_registry_coverage():
-    """Core SLAM message families are registered."""
+    """Every message type in the reference's 94-topic fixture bag is
+    registered (crates/apex-io/tests/test_bags/, rosbag/mod.rs:14)."""
     needed = [
-        "nav_msgs/msg/Odometry", "nav_msgs/msg/Path",
+        "nav_msgs/msg/Odometry", "nav_msgs/msg/Path", "nav_msgs/msg/GridCells",
         "geometry_msgs/msg/PoseStamped", "geometry_msgs/msg/TransformStamped",
+        "geometry_msgs/msg/AccelWithCovarianceStamped",
+        "geometry_msgs/msg/PolygonStamped", "geometry_msgs/msg/InertiaStamped",
         "sensor_msgs/msg/Imu", "sensor_msgs/msg/PointCloud2",
+        "sensor_msgs/msg/PointCloud", "sensor_msgs/msg/MultiEchoLaserScan",
+        "sensor_msgs/msg/MultiDOFJointState", "sensor_msgs/msg/Joy",
         "sensor_msgs/msg/LaserScan", "sensor_msgs/msg/CameraInfo",
-        "tf2_msgs/msg/TFMessage",
+        "stereo_msgs/msg/DisparityImage",
+        "tf2_msgs/msg/TFMessage", "tf2_msgs/msg/TF2Error",
+        "std_msgs/msg/Empty", "std_msgs/msg/UInt64MultiArray",
     ]
     for t in needed:
         assert t in REGISTRY
-    assert len(REGISTRY) >= 45
+    assert len(REGISTRY) >= 94
+
+
+def test_registry_all_types_roundtrip_zero_filled():
+    """Every registered schema serializes a zero-filled message and decodes
+    it back (catches schema typos across the whole registry)."""
+    for t in sorted(REGISTRY):
+        raw = serialize(t, {})
+        out = deserialize(t, raw)
+        assert isinstance(out, dict)
+
+
+@pytest.mark.parametrize("compression", ["zstd", "zlib"])
+def test_mcap_compressed_roundtrip(tmp_path, compression):
+    """Compressed-chunk MCAP write/read (reference zstd chunk writing,
+    rosbag/types.rs:176-190)."""
+    bag = tmp_path / f"c_{compression}"
+    with Writer(bag, storage="mcap", compression=compression) as w:
+        w.add_topic("/odom", "nav_msgs/msg/Odometry")
+        for i in range(25):
+            w.write("/odom", 10_000 * i, odom_msg(float(i), 1.0, 0.0, i))
+    f = next(bag.glob("*.mcap"))
+    # the chunk payload is actually compressed: codec name on disk,
+    # and the repeated covariance arrays shrink the data section
+    assert compression.encode() in f.read_bytes()
+    with Reader(bag) as r:
+        msgs = list(r.messages(topics=["/odom"]))
+        assert len(msgs) == 25
+        assert msgs[7][3]["pose"]["pose"]["position"]["x"] == 7.0
+
+
+def test_mcap_multi_chunk_flush(tmp_path):
+    """Chunks flush at the size threshold and all land in the reader."""
+    from apex_tpu.io.rosbag import McapStorageReader, McapStorageWriter
+
+    f = tmp_path / "multi.mcap"
+    w = McapStorageWriter(f, compression="zstd", chunk_size=256)
+    w.add_topic("/s", "std_msgs/msg/String")
+    for i in range(50):
+        w.write("/s", i, serialize("std_msgs/msg/String", {"data": f"msg {i:04d}" * 4}))
+    w.close()
+    r = McapStorageReader(f)
+    msgs = list(r.messages())
+    assert len(msgs) == 50
+    assert [m[2] for m in msgs] == list(range(50))
+    # more than one Chunk record was written
+    assert f.read_bytes().count(b"zstd") > 1
+
+
+def test_sqlite_compression_rejected(tmp_path):
+    with pytest.raises(ValueError, match="mcap"):
+        Writer(tmp_path / "x", storage="sqlite3", compression="zstd")
