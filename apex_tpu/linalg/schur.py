@@ -711,6 +711,50 @@ class SchurContext:
         x, r, *_ = jax.lax.while_loop(cond, body, state)
         return x
 
+    # Pairs processed per scatter step in the explicit variant. Dense
+    # visibility makes the pair count quadratic in cameras-per-landmark
+    # (ladybug-49 full-visibility: 18.6M pairs -> a [P, De, De] buffer of
+    # 152 GB if materialized at once); scanning fixed-size chunks bounds
+    # the peak at ~CHUNK * De^2 * 3 floats regardless of pair count.
+    PAIR_CHUNK = 1 << 18
+
+    def _scatter_pair_products(self, S, Y, W, ent_a, ent_b, ia, ib):
+        """S -= scatter-add of per-pair De x De products Y[ia] @ W[ib]^T at
+        entity-block (ent_a[ia], ent_b[ib]) — the per-landmark outer-product
+        accumulation of explicit_schur.rs:771-925, chunked to bound memory."""
+        De = self.entity_dof
+        ar = jnp.arange(De, dtype=jnp.int32)
+
+        def add_chunk(S, idx_a, idx_b, mask):
+            contrib = _es("pik,pjk->pij", Y[idx_a], W[idx_b])
+            contrib = contrib * mask[:, None, None]
+            rows = (ent_a[idx_a][:, None] * De + ar)[:, :, None]
+            cols = (ent_b[idx_b][:, None] * De + ar)[:, None, :]
+            return S.at[
+                jnp.broadcast_to(rows, contrib.shape),
+                jnp.broadcast_to(cols, contrib.shape),
+            ].add(-contrib)
+
+        n = int(ia.shape[0])
+        chunk = self.PAIR_CHUNK
+        if n <= chunk:
+            return add_chunk(S, ia, ib, jnp.ones((n,), S.dtype))
+
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        mask = jnp.concatenate(
+            [jnp.ones((n,), S.dtype), jnp.zeros((pad,), S.dtype)]
+        ).reshape(n_chunks, chunk)
+        ia_p = jnp.concatenate([ia, jnp.zeros((pad,), ia.dtype)]).reshape(n_chunks, chunk)
+        ib_p = jnp.concatenate([ib, jnp.zeros((pad,), ib.dtype)]).reshape(n_chunks, chunk)
+
+        def body(S, xs):
+            idx_a, idx_b, m = xs
+            return add_chunk(S, idx_a, idx_b, m), None
+
+        S, _ = jax.lax.scan(body, S, (ia_p, ib_p, mask))
+        return S
+
     # ------------------------------------------------------------------
 
     def solve(self, values, damping, iteration=None):
@@ -746,14 +790,8 @@ class SchurContext:
                     pi += 1
                     if ia.shape[0] == 0:
                         continue
-                    contrib = _es("pik,pjk->pij", Ys[a][ia], Ws[bidx][ib])
-                    ar = jnp.arange(De, dtype=jnp.int32)
-                    rows = (mca.ent_ids[ia][:, None] * De + ar)[:, :, None]
-                    cols = (mcb.ent_ids[ib][:, None] * De + ar)[:, None, :]
-                    S = S.at[
-                        jnp.broadcast_to(rows, contrib.shape),
-                        jnp.broadcast_to(cols, contrib.shape),
-                    ].add(-contrib)
+                    S = self._scatter_pair_products(
+                        S, Ys[a], Ws[bidx], mca.ent_ids, mcb.ent_ids, ia, ib)
             dxc = solve_cholesky_with_retry(S, -b)
         else:
             def apply_S(x):

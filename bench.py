@@ -1,15 +1,17 @@
 """apex-tpu benchmark driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The four required keys carry the headline workload (sphere2500-class SE3
+pose graph); "extra" carries the rest of the ladder (SE2 M3500-scale,
+50k-pose banded solve, trafalgar-257-scale bundle adjustment), each with
+its own BASELINE.md ratio. Per-metric human-readable lines go to stderr.
 
-Headline workload: sphere2500-class SE3 pose graph (2500 vertices, ~4950
-edges: odometry spiral + ring-to-ring loop closures) solved with LM to the
-reference's pose-graph settings (max 100 iters, cost_tolerance 1e-4).
-Baseline: the reference solves the real sphere2500 in 176.3 ms on an M4 Mac
-Mini (BASELINE.md). The dataset here is synthetic-but-equivalent (no network
-egress for the real file); scale and sparsity match.
+Baselines (BASELINE.md, reference on an M4 Mac Mini):
+  sphere2500 176.3 ms | M3500 103.5 ms | trafalgar-257 BA 10.39 s.
+Datasets are scale/sparsity-matched synthetics (no network egress for the
+real files; the real files load through the same apex_tpu.io paths).
 
-vs_baseline = baseline_ms / measured_ms  (>1 means faster than reference).
+vs_baseline = baseline / measured (>1 means faster than the reference).
 """
 
 from __future__ import annotations
@@ -19,96 +21,167 @@ import os
 import sys
 import time
 
-BASELINE_MS = 176.3  # reference sphere2500 wall time (doc/performance.md:50)
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
-def _run_once(n_poses, rings, dtype, runs):
-    import jax
-
+def _solve_pose_graph(graph, dtype, runs, solver="sparse_cholesky",
+                      min_reduction=0.99):
     import apex_tpu as apx
-    from apex_tpu.io import synthetic
 
-    t0 = time.perf_counter()
-    g = synthetic.synthetic_pose_graph_3d(n_poses=n_poses, rings=rings, seed=0)
-    gen_s = time.perf_counter() - t0
-
-    problem = g.to_problem()
+    problem = graph.to_problem()
     cfg = apx.LevenbergMarquardtConfig(
         mode="jit", max_iterations=100, cost_tolerance=1e-4,
-        linear_solver_type=os.environ.get("APEX_BENCH_SOLVER", "sparse_cholesky"),
+        linear_solver_type=solver,
     )
-    solver = apx.LevenbergMarquardt(cfg)
+    lm = apx.LevenbergMarquardt(cfg)
     cp = problem.compile(dtype=dtype)
 
     t0 = time.perf_counter()
-    result = solver.optimize(cp)  # warmup / compile
+    result = lm.optimize(cp)  # warmup / compile
     warm_s = time.perf_counter() - t0
-
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        result = solver.optimize(cp)
+        result = lm.optimize(cp)
         best = min(best, time.perf_counter() - t0)
+    if not (result.converged and
+            result.final_cost < (1 - min_reduction) * result.initial_cost):
+        raise RuntimeError(f"did not converge: {result.summary()}")
+    return best * 1e3, warm_s, result
 
-    ms = best * 1e3
-    print(
-        f"# sphere{n_poses}-synthetic: {result.summary()} | gen {gen_s:.1f}s "
-        f"warmup {warm_s:.1f}s best {ms:.1f}ms | device {jax.devices()[0].platform}",
-        file=sys.stderr,
-    )
-    if not (result.converged and result.final_cost < 0.01 * result.initial_cost):
-        raise RuntimeError(f"solve did not converge: {result.summary()}")
-    return ms
+
+def bench_sphere2500(dtype, runs):
+    """Headline: sphere2500-class SE3 pose graph, banded cyclic reduction."""
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=2500, rings=50, seed=0)
+    ms, warm, res = _solve_pose_graph(
+        g, dtype, runs,
+        solver=os.environ.get("APEX_BENCH_SOLVER", "sparse_cholesky"))
+    _log(f"# sphere2500: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
+    return {"metric": "sphere2500_synthetic_lm_solve", "value": round(ms, 2),
+            "unit": "ms", "vs_baseline": round(176.3 / ms, 3)}
+
+
+def bench_m3500(dtype, runs):
+    """SE2 ladder rung: M3500-scale 2D pose graph (3500 poses, ~5.4k edges)."""
+    from apex_tpu.io import synthetic
+
+    # M3500 character: Manhattan-world grid, 3500 poses, ~5.2k edges
+    g = synthetic.synthetic_pose_graph_2d(
+        n_poses=3500, trajectory="manhattan", loop_stride=2, seed=0)
+    ms, warm, res = _solve_pose_graph(g, dtype, runs, min_reduction=0.95)
+    _log(f"# m3500: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
+    return {"metric": "m3500_synthetic_se2_lm_solve", "value": round(ms, 2),
+            "unit": "ms", "vs_baseline": round(103.5 / ms, 3)}
+
+
+def bench_50k(dtype):
+    """Scale rung: 50k-pose SE3 graph — O(D*W) banded memory, one chip.
+    No reference row exists at this size (dense H would be 360 GB);
+    vs_baseline extrapolates the reference's sphere2500 per-edge rate
+    (176.3 ms / 4949 edges) to this edge count."""
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=50_000, rings=320, seed=0)
+    n_edges = len(g.edges_se3)
+    ms, warm, res = _solve_pose_graph(g, dtype, 1, min_reduction=0.97)
+    per_edge_ref = 176.3 / 4949.0
+    _log(f"# 50k-pose ({n_edges} edges): {res.summary()} | warmup {warm:.1f}s "
+         f"best {ms:.1f}ms")
+    return {"metric": "pose50k_synthetic_lm_solve", "value": round(ms, 2),
+            "unit": "ms",
+            "vs_baseline": round(per_edge_ref * n_edges / ms, 3)}
+
+
+def bench_ba_trafalgar(dtype, runs):
+    """BA rung: trafalgar-257-scale self-calibration (257 cams / 65k pts /
+    ~226k obs), implicit Schur + Schur-Jacobi. Baseline 10.39 s."""
+    import apex_tpu as apx
+    from apex_tpu.ba import build_ba_problem, rmse
+    from apex_tpu.io import synthetic
+
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=257, n_points=65_132, obs_per_camera=879, seed=0)
+    cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
+    cfg = apx.LevenbergMarquardtConfig(
+        linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
+        max_iterations=30, mode="jit")
+    lm = apx.LevenbergMarquardt(cfg)
+    t0 = time.perf_counter()
+    result = lm.optimize(cp)
+    warm_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        result = lm.optimize(cp)
+        best = min(best, time.perf_counter() - t0)
+    r0 = rmse(result.initial_cost, ds.num_observations)
+    r1 = rmse(result.final_cost, ds.num_observations)
+    _log(f"# trafalgar-257 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px | "
+         f"warmup {warm_s:.1f}s best {best:.2f}s")
+    if not (r1 < 0.55 * r0):
+        raise RuntimeError(f"BA did not reduce RMSE enough: {r0:.3f}->{r1:.3f}")
+    return {"metric": "trafalgar257_synthetic_ba_solve",
+            "value": round(best, 3), "unit": "s",
+            "vs_baseline": round(10.39 / best, 3)}
 
 
 def main():
-    n_poses = int(os.environ.get("APEX_BENCH_POSES", "2500"))
-    rings = int(os.environ.get("APEX_BENCH_RINGS", "50"))
-    dtype_name = os.environ.get("APEX_BENCH_DTYPE", "f32")
-    runs = int(os.environ.get("APEX_BENCH_RUNS", "3"))
-
     import numpy as np
 
+    if os.environ.get("APEX_BENCH_PLATFORM"):  # e.g. "cpu" for offline runs
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["APEX_BENCH_PLATFORM"])
+
+    dtype_name = os.environ.get("APEX_BENCH_DTYPE", "f32")
     dtype = np.float32 if dtype_name == "f32" else np.float64
+    runs = int(os.environ.get("APEX_BENCH_RUNS", "3"))
+    only = os.environ.get("APEX_BENCH_ONLY")  # comma-separated subset
 
-    # Fallback ladder: the remote TPU tunnel is flaky (worker restarts,
-    # minutes-long compiles) — always emit a result line.
-    attempts = [(n_poses, rings, None)]
-    if n_poses > 500:
-        attempts.append((500, 10, None))
-    attempts.append((500, 10, "cpu"))
-
-    ms = None
-    for np_, rg_, platform in attempts:
+    ladder = [
+        ("sphere2500", lambda: bench_sphere2500(dtype, runs)),
+        ("m3500", lambda: bench_m3500(dtype, runs)),
+        ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2))),
+        ("pose50k", lambda: bench_50k(dtype)),
+    ]
+    results = []
+    for name, fn in ladder:
+        if only and name not in only.split(","):
+            continue
         try:
-            if platform is not None:
-                import jax
+            t0 = time.perf_counter()
+            results.append(fn())
+            _log(f"# {name} total {time.perf_counter() - t0:.1f}s")
+        except Exception as e:  # noqa: BLE001 - always emit the JSON line
+            _log(f"# {name} FAILED: {type(e).__name__}: {str(e)[:300]}")
 
-                jax.config.update("jax_platforms", platform)
-            ms = _run_once(np_, rg_, dtype, runs)
-            scale = n_poses / np_  # note scale substitution in the metric
-            if np_ != n_poses:
-                print(f"# FELL BACK to {np_} poses (platform={platform})",
-                      file=sys.stderr)
-            break
+    if not results:
+        # Fallback ladder (flaky tunnel): tiny sphere on CPU so the driver
+        # always gets a parseable line.
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            from apex_tpu.io import synthetic
+
+            g = synthetic.synthetic_pose_graph_3d(n_poses=500, rings=10, seed=0)
+            ms, _, _ = _solve_pose_graph(g, dtype, 1)
+            _log("# FELL BACK to 500 poses on cpu")
+            results.append({"metric": "sphere2500_synthetic_lm_solve",
+                            "value": round(ms, 2), "unit": "ms",
+                            "vs_baseline": 0.0})
         except Exception as e:  # noqa: BLE001
-            print(f"# attempt {np_}@{platform or 'default'} failed: "
-                  f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-    if ms is None:
-        print(json.dumps({"metric": "sphere2500_synthetic_lm_solve",
-                          "value": -1.0, "unit": "ms", "vs_baseline": 0.0}))
-        return
+            _log(f"# cpu fallback FAILED: {type(e).__name__}: {str(e)[:200]}")
+            results.append({"metric": "sphere2500_synthetic_lm_solve",
+                            "value": -1.0, "unit": "ms", "vs_baseline": 0.0})
 
-    print(
-        json.dumps(
-            {
-                "metric": "sphere2500_synthetic_lm_solve",
-                "value": round(ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / ms, 3),
-            }
-        )
-    )
+    head = dict(results[0])
+    head["extra"] = results[1:]
+    print(json.dumps(head))
 
 
 if __name__ == "__main__":

@@ -66,3 +66,26 @@ def test_ba_entities_per_camera():
     # each camera: pose (6) + intrinsics (3) = one 9-DOF entity
     assert ctx.num_entities == 8
     assert ctx.entity_dof == 9
+
+
+def test_explicit_schur_pair_chunking_matches():
+    """The scan-chunked pair accumulation (bounds peak memory when dense
+    visibility makes the pair count quadratic) must match the single-chunk
+    path exactly."""
+    ds = synthetic.synthetic_ba(n_cameras=6, n_points=80, seed=2)
+    cp = build_ba_problem(ds, mode="self_calibration").compile()
+
+    def run(chunk):
+        orig = SchurContext.PAIR_CHUNK
+        SchurContext.PAIR_CHUNK = chunk
+        try:
+            cfg = apx.LevenbergMarquardtConfig(
+                linear_solver_type="schur_explicit", max_iterations=8)
+            return apx.LevenbergMarquardt(cfg).optimize(cp)
+        finally:
+            SchurContext.PAIR_CHUNK = orig
+
+    r1 = run(1 << 18)  # everything in one chunk
+    r2 = run(37)       # many chunks + ragged padding tail
+    np.testing.assert_allclose(r2.final_cost, r1.final_cost, rtol=1e-10)
+    assert r1.iterations == r2.iterations
