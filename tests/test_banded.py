@@ -78,7 +78,8 @@ def test_natural_variable_ordering():
     assert np.allclose(r.variables["x2"], 2.0)
 
 
-@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+@pytest.mark.parametrize(
+    "dtype", [pytest.param(np.float64, marks=pytest.mark.slow), np.float32])
 def test_lm_sparse_cholesky_matches_dense(dtype):
     g = synthetic.synthetic_pose_graph_3d(n_poses=300, rings=10, seed=0)
     cp = g.to_problem().compile(dtype=dtype)
@@ -113,7 +114,8 @@ def test_lm_sparse_cholesky_full_bandwidth_ring():
     )
 
 
-@pytest.mark.parametrize("opt", ["gn", "dl"])
+@pytest.mark.parametrize(
+    "opt", ["gn", pytest.param("dl", marks=pytest.mark.slow)])
 def test_gn_dogleg_banded_match_dense(opt):
     from apex_tpu.optim import DogLeg, DogLegConfig, GaussNewton, GaussNewtonConfig
 

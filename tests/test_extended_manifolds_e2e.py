@@ -11,7 +11,9 @@ import apex_tpu as apx
 from apex_tpu import manifolds
 
 
-@pytest.mark.parametrize("gname", ["SE23", "Sim3", "SGal3", "SO3", "SO2"])
+@pytest.mark.parametrize("gname", [
+    "SE23", "Sim3", pytest.param("SGal3", marks=pytest.mark.slow), "SO3", "SO2",
+])
 def test_between_chain_converges(gname):
     G = manifolds.get(gname)
     rng = np.random.default_rng(1)

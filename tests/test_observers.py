@@ -75,7 +75,7 @@ def test_se3_camera_pose_invert():
     np.testing.assert_allclose(pos_i, [-1.0, 2.0, -3.0], atol=1e-12)
 
 
-def _solve_with_observer(vis_cfg, n_poses=20, expose=True):
+def _solve_with_observer(vis_cfg, n_poses=12, expose=True):
     import apex_tpu as apx
     from apex_tpu.io import synthetic
 

@@ -141,6 +141,7 @@ def test_iteration_stats_collected():
     assert res.iteration_stats[0].cost >= res.iteration_stats[-1].cost
 
 
+@pytest.mark.slow
 def test_pcg_solver_matches_dense():
     """Matrix-free block-PCG normal-equation solver reaches the dense
     optimum on a pose graph."""

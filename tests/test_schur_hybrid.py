@@ -40,6 +40,7 @@ def test_hybrid_entities_merge(hybrid_problem):
     assert ctx.entity_dof == 6 * 6
 
 
+@pytest.mark.slow
 def test_hybrid_schur_matches_dense(hybrid_problem):
     cp = hybrid_problem.compile()
     cfg_d = apx.LevenbergMarquardtConfig(max_iterations=30)

@@ -98,6 +98,7 @@ def test_sharded_schur_ba_step(mesh):
     assert float(cost6) < 0.3 * float(cost0)
 
 
+@pytest.mark.slow
 def test_sharded_banded_lm_step_matches_dense_sharded():
     import jax
     import jax.numpy as jnp
