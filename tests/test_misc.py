@@ -97,7 +97,7 @@ def test_dds_gated():
     assert ros_topic_to_dds("/odom") == "rt/odom"
     assert ros_topic_to_dds("rt/odom") == "rt/odom"
     with pytest.raises(ImportError, match="cyclonedds"):
-        DdsSubscriber()
+        DdsSubscriber(topic="/odom", message_type="nav_msgs/msg/Odometry")
 
 
 def test_rerun_gated():
