@@ -41,6 +41,7 @@ from .smallmm import es as _es, vdot as _vdot
 
 from ..core.problem import CompiledProblem
 from .dense import solve_cholesky_with_retry
+from .segsum import apply_plan as _apply_bucket, make_plan as _make_bucket
 
 
 # ---------------------------------------------------------------------------
@@ -144,10 +145,6 @@ def landmark_inverse(Hpp):
 # Schur context over a CompiledProblem
 # ---------------------------------------------------------------------------
 
-# ---------------------------------------------------------------------------
-# Schur context over a CompiledProblem
-# ---------------------------------------------------------------------------
-
 
 def _seg(vals, perm, idx_sorted, n):
     """Pre-sorted segment-sum with a fusion barrier: XLA otherwise fuses the
@@ -182,6 +179,8 @@ class _MCoupling:
     lm_sorted: jnp.ndarray
     perm_ent: jnp.ndarray  # [K] argsort by entity
     ent_sorted: jnp.ndarray
+    lm_plan: object = None  # gather-only SegmentSumPlan -> landmarks
+    ent_plan: object = None  # gather-only SegmentSumPlan -> entities
 
 
 class SchurContext:
@@ -400,6 +399,8 @@ class SchurContext:
                     lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
                     perm_ent=jnp.asarray(perm_ent.astype(np.int32)),
                     ent_sorted=jnp.asarray(ent[perm_ent].astype(np.int32)),
+                    lm_plan=_make_bucket(lm, self.num_landmarks),
+                    ent_plan=_make_bucket(ent, E),
                 ))
 
         # --- sorted-segment plans for assembly ------------------------------
@@ -413,6 +414,7 @@ class SchurContext:
                 perm=jnp.asarray(perm.astype(np.int32)),
                 idx=jnp.asarray(dest_idx[perm].astype(np.int32)),
                 n=num_segments,
+                bucket=_make_bucket(dest_idx, num_segments),
             )
 
         self._asm_plans = []
@@ -508,6 +510,24 @@ class SchurContext:
 
     # ------------------------------------------------------------------
 
+    def _segsum(self, vals, perm, idx_sorted, n, bucket_plan):
+        """Segment-sum dispatch. Default "auto": the gather-only bucket plan
+        for small row tails (<= 32 elements — the PCG products, gradients,
+        Hpp blocks; scatter there runs at ~1% of HBM bandwidth on TPU),
+        scatter for wide [K, De, De] blocks (bucket padding would double an
+        already GB-scale buffer). APEX_TPU_SEGSUM=scatter|bucket forces one
+        path globally."""
+        import os
+
+        mode = os.environ.get("APEX_TPU_SEGSUM", "auto")
+        tail = int(np.prod(vals.shape[1:])) if vals.ndim > 1 else 1
+        use_bucket = bucket_plan is not None and (
+            mode == "bucket" or (mode == "auto" and tail <= 32)
+        )
+        if use_bucket:
+            return _apply_bucket(bucket_plan, vals)
+        return _seg(vals, perm, idx_sorted, n)
+
     def _pp_shift(self, damping):
         """Effective landmark-block diagonal shift: LM damping floored by
         the decoupled landmark regularization floor."""
@@ -530,11 +550,13 @@ class SchurContext:
         Ws: List[Optional[jnp.ndarray]] = [None] * len(self.mcouplings)
 
         def seg_flat(plan, vals):
-            return _seg(vals.reshape(-1), plan["perm"], plan["idx"], plan["n"])
+            return self._segsum(vals.reshape(-1), plan["perm"], plan["idx"],
+                                plan["n"], plan.get("bucket"))
 
         def seg_rows(plan, vals):
             """Segment-sum [K, ...] blocks over a [K] id plan."""
-            return _seg(vals, plan["perm"], plan["idx"], plan["n"])
+            return self._segsum(vals, plan["perm"], plan["idx"], plan["n"],
+                                plan.get("bucket"))
 
         for gi, g in enumerate(cp.groups):
             r, jacs = cp.group_linearize(values, g, True)
@@ -624,7 +646,8 @@ class SchurContext:
         t = jnp.zeros((self.num_landmarks, 3), dtype=xc.dtype)
         for mc, W in zip(self.mcouplings, Ws):
             vals = _es("kij,ki->kj", W, xe[mc.ent_ids])  # [K, 3]
-            t = t + _seg(vals, mc.perm_lm, mc.lm_sorted, self.num_landmarks)
+            t = t + self._segsum(vals, mc.perm_lm, mc.lm_sorted,
+                                 self.num_landmarks, mc.lm_plan)
         return t
 
     def _w_u(self, Ws, u):
@@ -634,7 +657,8 @@ class SchurContext:
         y = jnp.zeros((E, De), dtype=u.dtype)
         for mc, W in zip(self.mcouplings, Ws):
             sk = _es("kij,kj->ki", W, u[mc.lm_ids])  # [K, De]
-            y = y + _seg(sk, mc.perm_ent, mc.ent_sorted, E)
+            y = y + self._segsum(sk, mc.perm_ent, mc.ent_sorted, E,
+                                 mc.ent_plan)
         return y.reshape(-1)
 
     def _entity_prec_inv(self, Hcc_blocks, Hpp_inv, Ws, schur_jacobi: bool):
@@ -650,7 +674,8 @@ class SchurContext:
             for mc, W in zip(self.mcouplings, Ws):
                 Y = _es("kij,kjl->kil", W, Hpp_inv[mc.lm_ids])  # [K, De, 3]
                 Z = _es("kil,kml->kim", Y, W)  # [K, De, De]
-                acc = acc - _seg(Z, mc.perm_ent, mc.ent_sorted, E)
+                acc = acc - self._segsum(Z, mc.perm_ent, mc.ent_sorted, E,
+                                         mc.ent_plan)
         from .utils import spd_clamped_inv
 
         return spd_clamped_inv(acc)

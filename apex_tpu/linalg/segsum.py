@@ -1,0 +1,102 @@
+"""Gather-only segment sum for TPU.
+
+``jax.ops.segment_sum`` lowers to scatter-add; on TPU, scatters to ~1M
+segments run at ~1% of HBM bandwidth (measured 283 ms for a sorted
+[4.2M, 3] @ 994k-segment sum on v5e — the single hottest op at venice
+BA scale), and the [K]-row permutation gather that pre-sorts the
+operand costs another 55-120 ms. This module replaces both with
+gathers only:
+
+- **host plan** (``make_plan``): bucket segments by size class (power-
+  of-two capacity caps, <=2x padding). For each bucket, a static
+  [n_b, cap] index matrix gathers the member rows of each segment
+  directly from the UNSORTED operand (the sort permutation is composed
+  into the indices at plan time, so the separate permute disappears).
+- **device apply** (``apply_plan``): per bucket gather -> [n_b, cap, D]
+  -> sum over cap; bucket results concatenate and a final static
+  inverse-permutation gather (never a scatter) places them in segment
+  order, with empty segments reading a zero row.
+
+Semantics match ``jax.ops.segment_sum(vals, dest_ids, num_segments)``
+up to f32 summation-order rounding (within-segment sums are tree
+reductions over the cap axis instead of sequential adds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class SegmentSumPlan:
+    num_segments: int
+    num_rows: int  # K (operand rows; index K = zero-pad row)
+    # per bucket: (cap, gather_idx [n_b, cap] into padded operand)
+    buckets: Tuple[Tuple[int, jnp.ndarray], ...]
+    # [num_segments] int32 into (concat of bucket outputs + trailing zero row)
+    out_gather: jnp.ndarray
+    total_gathered: int  # sum of n_b * cap (padding diagnostic)
+
+
+def make_plan(dest_ids, num_segments: int) -> SegmentSumPlan:
+    """Build a gather-only segment-sum plan (host-side, static indices).
+
+    dest_ids: [K] integer array assigning each operand row to a segment.
+    """
+    dest_ids = np.asarray(dest_ids).reshape(-1)
+    K = int(dest_ids.shape[0])
+    order = np.argsort(dest_ids, kind="stable").astype(np.int64)
+    sorted_ids = dest_ids[order]
+    counts = np.bincount(sorted_ids, minlength=num_segments).astype(np.int64)
+    starts = np.zeros(num_segments, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+
+    nonzero = np.nonzero(counts)[0]
+    buckets: List[Tuple[int, jnp.ndarray]] = []
+    seg_order: List[np.ndarray] = []
+    total = 0
+    cap = 1
+    max_count = int(counts.max()) if K else 0
+    while True:
+        lo = cap // 2
+        sel = nonzero[(counts[nonzero] > lo) & (counts[nonzero] <= cap)]
+        if len(sel):
+            pos = starts[sel][:, None] + np.arange(cap)[None, :]
+            valid = np.arange(cap)[None, :] < counts[sel][:, None]
+            gi = np.where(valid, order[np.minimum(pos, K - 1)], K)
+            buckets.append((cap, jnp.asarray(gi.astype(np.int32))))
+            seg_order.append(sel)
+            total += gi.size
+        if cap >= max_count:
+            break
+        cap *= 2
+
+    # inverse placement: segment s reads row pos_of[s] of the concatenated
+    # bucket outputs; empty segments read the trailing zero row.
+    n_filled = sum(len(s) for s in seg_order)
+    pos_of = np.full(num_segments, n_filled, dtype=np.int64)
+    off = 0
+    for sel in seg_order:
+        pos_of[sel] = off + np.arange(len(sel))
+        off += len(sel)
+    return SegmentSumPlan(
+        num_segments=num_segments,
+        num_rows=K,
+        buckets=tuple(buckets),
+        out_gather=jnp.asarray(pos_of.astype(np.int32)),
+        total_gathered=total,
+    )
+
+
+def apply_plan(plan: SegmentSumPlan, vals) -> jnp.ndarray:
+    """out[s] = sum of vals rows assigned to segment s. vals: [K, ...]."""
+    tail = vals.shape[1:]
+    pad = jnp.zeros((1,) + tail, vals.dtype)
+    vp = jnp.concatenate([vals, pad], axis=0)
+    parts = [vp[gi].sum(axis=1) for cap, gi in plan.buckets]
+    parts.append(jnp.zeros((1,) + tail, vals.dtype))  # empty-segment row
+    return jnp.concatenate(parts, axis=0)[plan.out_gather]

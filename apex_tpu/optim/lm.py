@@ -519,20 +519,30 @@ class LevenbergMarquardt:
 
         init_state, run_until = self._run_cache[key]
         cost0, state = init_state(cp.initial_values())
-        if cfg.timeout is None:
+        # Large problems always run in iteration-chunked dispatches even
+        # without a timeout: a single while_loop dispatch covering a whole
+        # venice-scale solve executes for minutes, which the experimental
+        # remote-TPU runtime has killed mid-run ("TPU worker crashed") —
+        # bounded dispatches also give the host loop rollback points. Small
+        # problems keep the single dispatch (8 chunked round trips through
+        # the remote tunnel would dwarf a millisecond-scale solve).
+        large = cp.total_residual_dim >= 200_000
+        if cfg.timeout is None and not large:
             state = run_until(state, jnp.asarray(cfg.max_iterations + 1, jnp.int32))
         else:
             # ~8 host checks across the budget; each inter-chunk sync costs
             # one dispatch round trip, negligible next to an LM iteration.
             chunk = max(1, -(-cfg.max_iterations // 8))
+            cap = cfg.max_iterations + 1  # last body flips status to MAX_ITERATIONS
             done = 0
             while True:
-                done = min(done + chunk, cfg.max_iterations)
+                done = min(done + chunk, cap)
                 state = run_until(state, jnp.asarray(done, jnp.int32))
                 status = int(state[5])
-                if status != Status.RUNNING:
+                if status != Status.RUNNING or done >= cap:
                     break
-                if time.perf_counter() - start >= cfg.timeout:
+                if cfg.timeout is not None and \
+                        time.perf_counter() - start >= cfg.timeout:
                     state = state[:5] + (jnp.asarray(Status.TIMEOUT, jnp.int32),) + state[6:]
                     break
         return self._finish_jit(cp, start, cost0, state)

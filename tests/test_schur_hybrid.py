@@ -90,3 +90,20 @@ def test_explicit_schur_pair_chunking_matches():
     r2 = run(37)       # many chunks + ragged padding tail
     np.testing.assert_allclose(r2.final_cost, r1.final_cost, rtol=1e-10)
     assert r1.iterations == r2.iterations
+
+
+def test_segsum_bucket_matches_scatter(monkeypatch):
+    """The gather-only bucket segment-sum path must match scatter bitwise-
+    close through a full implicit-Schur solve."""
+    ds = synthetic.synthetic_ba(n_cameras=6, n_points=90, seed=9)
+    cp = build_ba_problem(ds, mode="self_calibration").compile()
+
+    def run(mode):
+        monkeypatch.setenv("APEX_TPU_SEGSUM", mode)
+        cfg = apx.LevenbergMarquardtConfig(
+            linear_solver_type="schur_implicit", max_iterations=6,
+            pcg_tolerance=1e-12, pcg_max_iterations=300)
+        return apx.LevenbergMarquardt(cfg).optimize(cp)
+
+    rb, rs = run("bucket"), run("scatter")
+    np.testing.assert_allclose(rb.final_cost, rs.final_cost, rtol=1e-9)
