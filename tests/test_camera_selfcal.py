@@ -137,3 +137,22 @@ def test_selfcal_recovers(model):
     # focal recovered within 1%
     intr_est = res.variables["intr_shared"]
     np.testing.assert_allclose(intr_est[0], intr_true[0], rtol=0.01)
+
+
+def test_selfcal_dogleg_with_covariance():
+    """BASELINE.md key config: joint pose+landmark+intrinsics BA with
+    covariance estimation under Dog Leg."""
+    from apex_tpu.optim.dogleg import DogLeg, DogLegConfig
+
+    problem, n_obs, intr_true = build_problem(
+        "pinhole", MODELS["pinhole"], ("pose", "landmark", "intrinsics"))
+    cfg = DogLegConfig(max_iterations=40, compute_covariances=True)
+    res = DogLeg(cfg).optimize(problem)
+    assert res.final_cost < 0.5 * res.initial_cost
+    assert res.covariances is not None
+    cov = res.covariances["intr_shared"]
+    d = cov.shape[0]
+    assert cov.shape == (d, d)
+    # a covariance: symmetric, positive diagonal
+    np.testing.assert_allclose(cov, cov.T, atol=1e-8 * abs(cov).max())
+    assert (np.diag(cov) > 0).all()
