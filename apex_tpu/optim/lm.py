@@ -532,7 +532,11 @@ class LevenbergMarquardt:
         else:
             # ~8 host checks across the budget; each inter-chunk sync costs
             # one dispatch round trip, negligible next to an LM iteration.
+            # Venice-class problems (multi-second LM iterations) go one
+            # iteration per dispatch so no dispatch runs for minutes.
             chunk = max(1, -(-cfg.max_iterations // 8))
+            if cp.total_residual_dim >= 2_000_000:
+                chunk = 1
             cap = cfg.max_iterations + 1  # last body flips status to MAX_ITERATIONS
             done = 0
             while True:
