@@ -49,6 +49,14 @@ def build_ba_problem(
     else:
         n_pts = ds.num_points
 
+    # Canonical observation order: sorted by (landmark, camera). The
+    # landmark axis carries the widest segment sums in the Schur pipeline
+    # (W^T x to ~1M landmarks at venice scale); with factors pre-sorted by
+    # landmark those sums need no permutation at all and their gathers are
+    # contiguous. Sum reordering only changes f32 rounding.
+    order = np.lexsort((cam_idx, pt_idx))
+    cam_idx, pt_idx, obs = cam_idx[order], pt_idx[order], obs[order]
+
     problem = Problem()
     pose_names = [f"pose_{i:04d}" for i in range(ds.num_cameras)]
     intr_names = [f"intr_{i:04d}" for i in range(ds.num_cameras)]

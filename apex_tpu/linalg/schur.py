@@ -149,8 +149,10 @@ def landmark_inverse(Hpp):
 def _seg(vals, perm, idx_sorted, n):
     """Pre-sorted segment-sum with a fusion barrier: XLA otherwise fuses the
     permutation gather into the scatter, making its reads random (~5x slower
-    on TPU, see doc/performance.md)."""
-    v = jax.lax.optimization_barrier(vals[perm])
+    on TPU, see doc/performance.md). ``perm=None`` means the operand is
+    already in sorted order (the BA canonical landmark-sorted layout) and
+    the permutation gather is skipped entirely."""
+    v = vals if perm is None else jax.lax.optimization_barrier(vals[perm])
     return jax.ops.segment_sum(v, idx_sorted, num_segments=n,
                                indices_are_sorted=True)
 
@@ -386,6 +388,8 @@ class SchurContext:
                 )
                 perm_lm = np.argsort(lm, kind="stable")
                 perm_ent = np.argsort(ent, kind="stable")
+                id_lm = bool((perm_lm == np.arange(len(lm))).all())
+                id_ent = bool((perm_ent == np.arange(len(ent))).all())
                 self._mc_of_group[gi] = len(self.mcouplings)
                 lm_np_of_mc.append(lm)
                 self.mcouplings.append(_MCoupling(
@@ -395,9 +399,11 @@ class SchurContext:
                     slot_loc=slot_loc,
                     ent_ids=jnp.asarray(ent.astype(np.int32)),
                     lm_ids=jnp.asarray(lm.astype(np.int32)),
-                    perm_lm=jnp.asarray(perm_lm.astype(np.int32)),
+                    perm_lm=None if id_lm else jnp.asarray(
+                        perm_lm.astype(np.int32)),
                     lm_sorted=jnp.asarray(lm[perm_lm].astype(np.int32)),
-                    perm_ent=jnp.asarray(perm_ent.astype(np.int32)),
+                    perm_ent=None if id_ent else jnp.asarray(
+                        perm_ent.astype(np.int32)),
                     ent_sorted=jnp.asarray(ent[perm_ent].astype(np.int32)),
                     lm_plan=_make_bucket(lm, self.num_landmarks),
                     ent_plan=_make_bucket(ent, E),
@@ -410,8 +416,9 @@ class SchurContext:
         def _plan(dest_idx, num_segments):
             dest_idx = np.asarray(dest_idx).reshape(-1)
             perm = np.argsort(dest_idx, kind="stable")
+            identity = bool((perm == np.arange(len(perm))).all())
             return dict(
-                perm=jnp.asarray(perm.astype(np.int32)),
+                perm=None if identity else jnp.asarray(perm.astype(np.int32)),
                 idx=jnp.asarray(dest_idx[perm].astype(np.int32)),
                 n=num_segments,
                 bucket=_make_bucket(dest_idx, num_segments),
