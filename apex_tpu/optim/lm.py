@@ -488,8 +488,7 @@ class LevenbergMarquardt:
                 )
                 return (values, damping, nu, cost, iteration + 1, status, jacobi_scale, stats)
 
-            @jax.jit
-            def init_state(values):
+            def init_state_fn(values):
                 cost0 = cp.cost(values)
                 return cost0, (
                     values,
@@ -508,12 +507,38 @@ class LevenbergMarquardt:
                     ),
                 )
 
-            @jax.jit
-            def run_until(state, iter_cap):
+            def run_until_fn(state, iter_cap):
                 def cond(s):
                     return (s[5] == Status.RUNNING) & (s[4] < iter_cap)
 
                 return jax.lax.while_loop(cond, body, state)
+
+            # Hoist closed-over problem arrays (plans, indices, observation
+            # data — tens to hundreds of MB at BA scale) out of the program
+            # as runtime arguments: embedded as constants they bloat the
+            # serialized executable (venice: >200 MB of MLIR, which the
+            # remote-TPU compile tunnel rejects outright with HTTP 413) and
+            # defeat executable caching across problems of equal structure.
+            if cp.total_residual_dim >= 200_000:
+                values_ex = jax.tree.map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    cp.initial_values())
+                iconv, iconsts = jax.closure_convert(init_state_fn, values_ex)
+                init_jit = jax.jit(iconv)
+
+                def init_state(values, _c=iconsts, _f=init_jit):
+                    return _f(values, *_c)
+
+                _, example = jax.eval_shape(init_state_fn, values_ex)
+                cap_ex = jax.ShapeDtypeStruct((), jnp.int32)
+                conv, consts = jax.closure_convert(run_until_fn, example, cap_ex)
+                run_jit = jax.jit(conv)
+
+                def run_until(state, iter_cap, _c=consts, _f=run_jit):
+                    return _f(state, iter_cap, *_c)
+            else:
+                init_state = jax.jit(init_state_fn)
+                run_until = jax.jit(run_until_fn)
 
             self._run_cache[key] = (init_state, run_until)
 
