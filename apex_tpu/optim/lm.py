@@ -520,22 +520,15 @@ class LevenbergMarquardt:
             # remote-TPU compile tunnel rejects outright with HTTP 413) and
             # defeat executable caching across problems of equal structure.
             if cp.total_residual_dim >= 200_000:
+                from ..utils.hoist import hoisted_jit
+
                 values_ex = jax.tree.map(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                     cp.initial_values())
-                iconv, iconsts = jax.closure_convert(init_state_fn, values_ex)
-                init_jit = jax.jit(iconv)
-
-                def init_state(values, _c=iconsts, _f=init_jit):
-                    return _f(values, *_c)
-
+                init_state = hoisted_jit(init_state_fn, values_ex)
                 _, example = jax.eval_shape(init_state_fn, values_ex)
                 cap_ex = jax.ShapeDtypeStruct((), jnp.int32)
-                conv, consts = jax.closure_convert(run_until_fn, example, cap_ex)
-                run_jit = jax.jit(conv)
-
-                def run_until(state, iter_cap, _c=consts, _f=run_jit):
-                    return _f(state, iter_cap, *_c)
+                run_until = hoisted_jit(run_until_fn, example, cap_ex)
             else:
                 init_state = jax.jit(init_state_fn)
                 run_until = jax.jit(run_until_fn)
