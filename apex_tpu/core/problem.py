@@ -86,6 +86,10 @@ class FactorGroup:
     # columns so gradient/predicted-reduction are consistent with the
     # actually-applied step. Identical results when nothing is fixed.
     free_masks: Tuple[Optional[jnp.ndarray], ...] = ()
+    # Optional [K] residual scale (sqrt-information multiplier). Weight-0
+    # rows are exact no-ops (zero residual, zero Jacobian) — used for
+    # structure padding (uniform landmark-bucket layouts at BA scale).
+    weights: Optional[jnp.ndarray] = None
     residual_dim: int = 0
     row_offset: int = 0
     count: int = 0
@@ -145,6 +149,7 @@ class Problem:
         data: Dict[str, np.ndarray],
         loss: Optional[Loss] = None,
         loss_params: Optional[np.ndarray] = None,
+        weights: Optional[np.ndarray] = None,
     ):
         """Bulk path for large factor batches (BA observations): one call adds
         K factors sharing ``template``'s signature/kernel with pre-stacked
@@ -195,8 +200,10 @@ class Problem:
         if len(counts) != 1:
             raise ValueError(f"inconsistent batch sizes: {counts}")
         count = counts.pop()
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float64).reshape(count)
         self._bulk.append((tuple(norm_slots), template, dict(data),
-                           loss, loss_params, count))
+                           loss, loss_params, weights, count))
 
     def add_variables_batch(self, names: Sequence[str], manifold, values: np.ndarray):
         mname = manifold if isinstance(manifold, str) else manifold.name
@@ -493,7 +500,7 @@ class Problem:
             row_offset += d * count
 
         # Bulk-added factor batches become their own groups directly.
-        for slot_keys, template, bdata, loss, loss_params, count in self._bulk:
+        for slot_keys, template, bdata, loss, loss_params, wts, count in self._bulk:
             manifolds = tuple(get_manifold(m) for m in template.var_manifolds())
             d = template.residual_dim()
             lkind = loss.kind if loss is not None else "l2"
@@ -550,6 +557,7 @@ class Problem:
                     indices=tuple(idx_arrays),
                     cols=tuple(col_arrays),
                     free_masks=tuple(mask_arrays),
+                    weights=None if wts is None else _to_device(wts, dtype),
                     residual_dim=d,
                     row_offset=row_offset,
                     count=count,
@@ -605,6 +613,10 @@ class CompiledProblem:
         """Fused kernel: gather -> factor residual(+J) -> corrector."""
         params = self._gather(values, group)
         r, jacs = group.kernel(group.manifolds, group.data, params, compute_jacobian)
+        if group.weights is not None:
+            r = r * group.weights[:, None]
+            if compute_jacobian:
+                jacs = [j * group.weights[:, None, None] for j in jacs]
         if compute_jacobian and any(m is not None for m in group.free_masks):
             jacs = [
                 j if m is None else j * m[:, None, :]

@@ -487,6 +487,17 @@ class SchurContext:
         if variant == "sparse":
             self.pair_indices = self._enumerate_pairs(lm_np_of_mc)
 
+        # --- plane-layout fast path for uniform (bucketed) BA layouts -----
+        # (see linalg/schur_planes.py; APEX_TPU_UNIFORM=0 disables)
+        self.uniform = None
+        if variant == "iterative" and self.mcouplings:
+            import os
+
+            if os.environ.get("APEX_TPU_UNIFORM", "1") == "1":
+                from .schur_planes import detect_uniform
+
+                self.uniform = detect_uniform(self)
+
     def _enumerate_pairs(self, lm_np_of_mc):
         """For each ordered merged-coupling pair (A, B): indices (ia, ib) of
         observations sharing a landmark — the per-landmark outer products of
@@ -801,6 +812,8 @@ class SchurContext:
         mechanism). Costs two extra coupling products per LM iteration."""
         cp = self.cp
         dt = cp.dtype
+        if self.uniform is not None and self.variant == "iterative":
+            return self.uniform.solve(values, damping, iteration=iteration)
         Hcc, gc, Hpp, gp, Ws, cost = self.assemble(values, damping)
         Hpp_inv = landmark_inverse(Hpp)
 
@@ -874,7 +887,14 @@ class SchurContext:
         g_dot_dx = dot(gc, dxc) + dot(gp.reshape(-1), dxp.reshape(-1))
         predicted = (-g_dot_dx - 0.5 * q).astype(dt)
 
-        # scatter back to the global tangent layout
+        dx, g_full = self._scatter_global(dxc, gc, dxp, gp)
+        return dx, g_full, cost, predicted
+
+    def _scatter_global(self, dxc, gc, dxp, gp):
+        """Place the reduced camera step/gradient and the landmark step/
+        gradient back into the global tangent layout."""
+        cp = self.cp
+        dt = cp.dtype
         D = cp.total_dof
         dx = jnp.zeros((D,), dtype=dt)
         g_full = jnp.zeros((D,), dtype=dt)
@@ -889,4 +909,4 @@ class SchurContext:
         lm_cols3 = jnp.asarray(lm_cols)[:, None] + jnp.arange(3, dtype=np.int32)
         dx = dx.at[lm_cols3].set(dxp[jnp.asarray(lm_ids_sorted)])
         g_full = g_full.at[lm_cols3].set(gp[jnp.asarray(lm_ids_sorted)])
-        return dx, g_full, cost, predicted
+        return dx, g_full

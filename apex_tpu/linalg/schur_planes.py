@@ -1,0 +1,429 @@
+"""Plane-layout implicit-Schur pipeline for uniform (bucketed) BA layouts.
+
+Why this exists: TPU tiles pad the trailing two dims of every array to
+(8, 128), so the block-shaped intermediates of the generic Schur path —
+W [K, 9, 3], H_pp [P, 3, 3], J [K, 2, 6] — cost 14-85x their logical
+bytes in HBM (a venice-scale [5M, 6, 6] buffer allocates 20.5 GB), and
+K-sized gathers/scatters run scalar-bound. With the bucketed canonical
+layout from build_ba_problem (landmarks renumbered bucket-major, each
+landmark's observation run padded to a power-of-two cap with weight-0
+rows), everything collapses:
+
+- per-observation blocks live as PLANES ([d, K] rows of K) — tile
+  padding ~1x instead of 14-85x;
+- every landmark-direction segment sum is a dense
+  ``reshape(n, cap).sum(1)`` placed at a static slice;
+- every landmark-direction gather is a static slice + broadcast;
+- landmark 3x3 blocks are six symmetric planes [6, P] with a closed-form
+  eigenvalue-clamped inverse (same math as linalg/schur.py's
+  invert_landmark_blocks, reference implicit_schur.rs:685-778);
+- only the camera-entity direction (E ~ thousands) keeps a gather and a
+  scatter segment-sum per product, both over small tables.
+
+SchurContext builds a UniformSchur when every factor group fits the
+layout; schur.py's block path remains the general fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .smallmm import vdot as _vdot
+
+# symmetric 3x3 plane order
+SYM6 = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 1): 3, (1, 2): 4, (2, 2): 5}
+
+
+def sym6_at(h6, i, j):
+    return h6[SYM6[(i, j) if i <= j else (j, i)]]
+
+
+def sym6_matvec(h6, v3):
+    """[6, ...] x [3, ...] -> [3, ...]."""
+    return jnp.stack([
+        h6[0] * v3[0] + h6[1] * v3[1] + h6[2] * v3[2],
+        h6[1] * v3[0] + h6[3] * v3[1] + h6[4] * v3[2],
+        h6[2] * v3[0] + h6[4] * v3[1] + h6[5] * v3[2],
+    ])
+
+
+def sym6_eig_extrema(h6):
+    """(min, max) eigenvalues of symmetric 3x3 planes (trigonometric)."""
+    a, b, c, d, e, f = h6[0], h6[1], h6[2], h6[3], h6[4], h6[5]
+    p1 = b * b + c * c + e * e
+    q = (a + d + f) / 3.0
+    p2 = (a - q) ** 2 + (d - q) ** 2 + (f - q) ** 2 + 2.0 * p1
+    diag_only = p2 < 1e-30
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    ip = 1.0 / p
+    B00, B11, B22 = (a - q) * ip, (d - q) * ip, (f - q) * ip
+    B01, B02, B12 = b * ip, c * ip, e * ip
+    detB = (
+        B00 * (B11 * B22 - B12 * B12)
+        - B01 * (B01 * B22 - B12 * B02)
+        + B02 * (B01 * B12 - B11 * B02)
+    )
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    lo = jnp.minimum(jnp.minimum(e1, e2), e3)
+    hi = jnp.maximum(jnp.maximum(e1, e2), e3)
+    dlo = jnp.minimum(jnp.minimum(a, d), f)
+    dhi = jnp.maximum(jnp.maximum(a, d), f)
+    return jnp.where(diag_only, dlo, lo), jnp.where(diag_only, dhi, hi)
+
+
+def sym6_clamped_inv(h6):
+    """Eigenvalue-conditioned regularized inverse on planes — the plane
+    form of linalg/schur.py::invert_landmark_blocks (same thresholds)."""
+    f32 = h6.dtype == jnp.float32
+    eig_floor = 1e-5 if f32 else 1e-12
+    cond_max = 1e6 if f32 else 1e10
+    rel = 1e-5 if f32 else 1e-8
+    emin, emax = sym6_eig_extrema(h6)
+    bad = (emin < eig_floor) | (emax > cond_max * jnp.maximum(emin, eig_floor * 1e-3))
+    reg = jnp.where(bad, jnp.abs(emin) + rel * jnp.maximum(emax, 1.0) + eig_floor, 0.0)
+    a = h6[0] + reg
+    b, c = h6[1], h6[2]
+    d = h6[3] + reg
+    e = h6[4]
+    f = h6[5] + reg
+    A11 = d * f - e * e
+    A12 = c * e - b * f
+    A13 = b * e - c * d
+    A22 = a * f - c * c
+    A23 = b * c - a * e
+    A33 = a * d - b * b
+    det = a * A11 + b * A12 + c * A13
+    inv_det = 1.0 / det
+    return jnp.stack([A11, A12, A13, A22, A23, A33]) * inv_det
+
+
+@dataclasses.dataclass(frozen=True)
+class _UGroup:
+    """Uniform factor group: landmark runs of length cap covering the
+    consecutive landmark range [lo, lo+n)."""
+
+    gi: int
+    cap: int
+    lo: int
+    n: int
+    ent_ids: jnp.ndarray  # [K]
+    perm_ent: Optional[jnp.ndarray]
+    ent_sorted: jnp.ndarray
+    cam_locs: Dict[int, int]  # cam slot -> entity-local column offset
+    lm_slot: Optional[int]
+
+
+def detect_uniform(ctx) -> Optional["UniformSchur"]:
+    """Build the plane pipeline when every group fits the uniform layout:
+    all camera slots have a fixed entity-local offset, and each group's
+    landmark ids are consecutive runs of equal length covering a
+    consecutive range disjoint from other groups'."""
+    cp = ctx.cp
+    ugroups: List[_UGroup] = []
+    ranges = []
+    for gi, g in enumerate(cp.groups):
+        kinds = ctx.slot_kind[gi]
+        lm_slots = [s for s, k in enumerate(kinds) if k == "lm"]
+        cam_slots = [s for s, k in enumerate(kinds) if k == "cam"]
+        mci = ctx._mc_of_group.get(gi)
+        if lm_slots and mci is None:
+            return None  # landmark-only group (e.g. landmark prior)
+        cam_locs = {}
+        if mci is not None:
+            mc = ctx.mcouplings[mci]
+            for s in cam_slots:
+                kind, loc = mc.slot_loc[s]
+                if kind != "u":
+                    return None
+                cam_locs[s] = loc
+            lm = np.asarray(mc.lm_ids)
+            K = lm.shape[0]
+            runs = np.nonzero(np.diff(lm))[0]
+            cap = int(runs[0] + 1) if runs.size else K
+            if cap == 0 or K % cap:
+                return None
+            lm_u = lm[::cap]
+            if not (lm.reshape(-1, cap) == lm_u[:, None]).all():
+                return None
+            if lm_u.size > 1 and not (np.diff(lm_u) == 1).all():
+                return None
+            lo, n = int(lm_u[0]), int(lm_u.size)
+            ranges.append((lo, lo + n))
+            ugroups.append(_UGroup(
+                gi=gi, cap=cap, lo=lo, n=n,
+                ent_ids=mc.ent_ids, perm_ent=mc.perm_ent,
+                ent_sorted=mc.ent_sorted, cam_locs=cam_locs,
+                lm_slot=mc.lm_slot,
+            ))
+        else:
+            # camera-only group: offsets must still be uniform
+            for s in cam_slots:
+                base = np.asarray(ctx.slot_red_base[gi][s])
+                loc = base - (base // ctx.entity_dof) * ctx.entity_dof
+                if loc.size and not (loc == loc[0]).all():
+                    return None
+                cam_locs[s] = int(loc[0]) if loc.size else 0
+            ugroups.append(_UGroup(
+                gi=gi, cap=0, lo=0, n=0,
+                ent_ids=None, perm_ent=None, ent_sorted=None,
+                cam_locs=cam_locs, lm_slot=None,
+            ))
+    ranges.sort()
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        if b0 < a1:
+            return None  # overlapping landmark ranges
+    return UniformSchur(ctx, ugroups)
+
+
+class UniformSchur:
+    def __init__(self, ctx, ugroups: List[_UGroup]):
+        self.ctx = ctx
+        self.ugroups = ugroups
+        # ent-direction segment plans per uniform group (camera side)
+        self._ent_plan = {}
+        for ug in ugroups:
+            if ug.ent_ids is not None:
+                self._ent_plan[ug.gi] = (ug.perm_ent, ug.ent_sorted)
+
+    # -- helpers ----------------------------------------------------------
+
+    def _ent_segsum(self, ug: _UGroup, vals):
+        """[K, ...] -> [E, ...] camera-entity segment sum (scatter; E is
+        small so this is the cheap direction)."""
+        from .schur import _seg
+
+        return _seg(vals, ug.perm_ent, ug.ent_sorted, self.ctx.num_entities)
+
+    def _lm_reduce(self, ug: _UGroup, plane):
+        """[K] plane -> [n] sums over each landmark's cap-run (dense)."""
+        return plane.reshape(ug.n, ug.cap).sum(axis=1)
+
+    def _lm_expand(self, ug: _UGroup, seg):
+        """[n, ...] -> [K, ...] broadcast each landmark row over its run."""
+        reps = jnp.broadcast_to(
+            seg[:, None], (ug.n, ug.cap) + seg.shape[1:])
+        return reps.reshape((ug.n * ug.cap,) + seg.shape[1:])
+
+    def _linearize_planes(self, values, g):
+        cp = self.ctx.cp
+        r, jacs = cp.group_linearize(values, g, True)
+        rp = r.T  # [rd, K]
+        Jp = [jnp.transpose(j, (1, 2, 0)) for j in jacs]  # [rd, dof, K]
+        return rp, Jp
+
+    # -- assembly ----------------------------------------------------------
+
+    def assemble(self, values, damping=None):
+        """Returns (Hcc [E,De,De], gc [Dc], hpp6 [6,P], gp3 [3,P],
+        Wps {gi: [De*3, K]}, cost)."""
+        ctx = self.ctx
+        cp = ctx.cp
+        dt = cp.dtype
+        E, De, P = ctx.num_entities, ctx.entity_dof, ctx.num_landmarks
+        Hcc = jnp.zeros((E, De, De), dtype=dt)
+        gc = jnp.zeros((E, De), dtype=dt)
+        hpp6 = jnp.zeros((6, P), dtype=dt)
+        gp3 = jnp.zeros((3, P), dtype=dt)
+        cost = jnp.zeros((), dtype=dt)
+        Wps: Dict[int, jnp.ndarray] = {}
+
+        for ug in self.ugroups:
+            g = cp.groups[ug.gi]
+            rp, Jp = self._linearize_planes(values, g)
+            rd = rp.shape[0]
+            cost = cost + 0.5 * jnp.sum(rp * rp)
+            kinds = ctx.slot_kind[ug.gi]
+            nslots = len(g.manifolds)
+
+            for s in range(nslots):
+                dof_s = g.manifolds[s].dof
+                gs = [
+                    sum(Jp[s][d, i] * rp[d] for d in range(rd))
+                    for i in range(dof_s)
+                ]
+                if kinds[s] == "cam":
+                    stacked = jnp.stack(gs, axis=1)  # [K, ds]
+                    l0 = ug.cam_locs[s]
+                    gsum = self._ent_segsum(ug, stacked)  # [E, ds]
+                    gc = gc.at[:, l0:l0 + dof_s].add(gsum)
+                else:
+                    for i in range(3):
+                        gp3 = gp3.at[i, ug.lo:ug.lo + ug.n].add(
+                            self._lm_reduce(ug, gs[i]))
+
+            # pair blocks
+            w_rows = [None] * (De * 3)
+            for s in range(nslots):
+                ds_ = g.manifolds[s].dof
+                for t in range(nslots):
+                    dt_ = g.manifolds[t].dof
+                    if kinds[s] == "lm" and kinds[t] == "cam":
+                        continue
+                    if kinds[s] == "cam" and kinds[t] == "cam":
+                        flat = jnp.stack([
+                            sum(Jp[s][d, i] * Jp[t][d, j] for d in range(rd))
+                            for i in range(ds_) for j in range(dt_)
+                        ], axis=1)  # [K, ds*dt]
+                        Hsum = self._ent_segsum(ug, flat)
+                        ls0, lt0 = ug.cam_locs[s], ug.cam_locs[t]
+                        Hcc = Hcc.at[:, ls0:ls0 + ds_, lt0:lt0 + dt_].add(
+                            Hsum.reshape(E, ds_, dt_))
+                    elif kinds[s] == "lm" and kinds[t] == "lm":
+                        for (i, j), pidx in SYM6.items():
+                            plane = sum(
+                                Jp[s][d, i] * Jp[t][d, j] for d in range(rd))
+                            hpp6 = hpp6.at[pidx, ug.lo:ug.lo + ug.n].add(
+                                self._lm_reduce(ug, plane))
+                    else:  # cam-lm -> W planes
+                        l0 = ug.cam_locs[s]
+                        for i in range(ds_):
+                            for j in range(3):
+                                plane = sum(
+                                    Jp[s][d, i] * Jp[t][d, j]
+                                    for d in range(rd))
+                                row = (l0 + i) * 3 + j
+                                w_rows[row] = (
+                                    plane if w_rows[row] is None
+                                    else w_rows[row] + plane)
+            if ug.lm_slot is not None:
+                K = int(ug.ent_ids.shape[0])
+                zero = jnp.zeros((K,), dtype=dt)
+                Wps[ug.gi] = jnp.stack(
+                    [zero if r is None else r for r in w_rows])  # [De*3, K]
+
+        eye = jnp.eye(De, dtype=dt)
+        Hcc = Hcc + ctx._pad_diag.astype(dt)[:, :, None] * eye
+        if damping is not None:
+            Hcc = Hcc + damping * eye
+            shift = ctx._pp_shift(damping)
+            for pidx in (SYM6[(0, 0)], SYM6[(1, 1)], SYM6[(2, 2)]):
+                hpp6 = hpp6.at[pidx].add(shift)
+        return Hcc, gc.reshape(-1), hpp6, gp3, Wps, cost
+
+    # -- products ----------------------------------------------------------
+
+    def wt_x(self, Wps, xc):
+        """[Dc] -> [3, P]: t = W^T x."""
+        ctx = self.ctx
+        E, De, P = ctx.num_entities, ctx.entity_dof, ctx.num_landmarks
+        xeT = xc.reshape(E, De).T  # [De, E] small
+        t = jnp.zeros((3, P), dtype=xc.dtype)
+        for ug in self.ugroups:
+            if ug.lm_slot is None:
+                continue
+            Wp = Wps[ug.gi]
+            xg = xeT[:, ug.ent_ids]  # [De, K] lane gather (small table)
+            for j in range(3):
+                plane = sum(Wp[i * 3 + j] * xg[i] for i in range(De))
+                t = t.at[j, ug.lo:ug.lo + ug.n].add(self._lm_reduce(ug, plane))
+        return t
+
+    def w_u(self, Wps, u3):
+        """[3, P] -> [Dc]: y = W u."""
+        ctx = self.ctx
+        E, De = ctx.num_entities, ctx.entity_dof
+        y = jnp.zeros((E, De), dtype=u3.dtype)
+        for ug in self.ugroups:
+            if ug.lm_slot is None:
+                continue
+            Wp = Wps[ug.gi]
+            ug3 = [self._lm_expand(ug, u3[j, ug.lo:ug.lo + ug.n])
+                   for j in range(3)]  # 3 x [K]
+            ys = jnp.stack([
+                sum(Wp[i * 3 + j] * ug3[j] for j in range(3))
+                for i in range(De)
+            ], axis=1)  # [K, De]
+            y = y + self._ent_segsum(ug, ys)
+        return y.reshape(-1)
+
+    def prec_blocks(self, Hcc, hinv6, Wps, schur_jacobi: bool):
+        """Entity diagonal blocks of S, inverted (Schur-Jacobi)."""
+        ctx = self.ctx
+        E, De = ctx.num_entities, ctx.entity_dof
+        acc = Hcc
+        if schur_jacobi:
+            for ug in self.ugroups:
+                if ug.lm_slot is None:
+                    continue
+                Wp = Wps[ug.gi]
+                hg = [self._lm_expand(ug, hinv6[p, ug.lo:ug.lo + ug.n])
+                      for p in range(6)]  # 6 x [K]
+                # Y[i][j] = sum_m W[i,m] hinv[m,j]
+                Y = [[
+                    sum(Wp[i * 3 + m] * hg[SYM6[(m, j) if m <= j else (j, m)]]
+                        for m in range(3))
+                    for j in range(3)] for i in range(De)]
+                Z = jnp.stack([
+                    sum(Y[i][j] * Wp[l * 3 + j] for j in range(3))
+                    for i in range(De) for l in range(De)
+                ], axis=1)  # [K, De*De]
+                acc = acc - self._ent_segsum(ug, Z).reshape(E, De, De)
+        from .utils import spd_clamped_inv
+
+        return spd_clamped_inv(acc)
+
+    # -- full solve --------------------------------------------------------
+
+    def solve(self, values, damping, iteration=None):
+        """Plane-form twin of SchurContext.solve (iterative variant)."""
+        ctx = self.ctx
+        cp = ctx.cp
+        dt = cp.dtype
+        Hcc, gc, hpp6, gp3, Wps, cost = self.assemble(values, damping)
+        hinv6 = sym6_clamped_inv(hpp6)
+
+        u_g = sym6_matvec(hinv6, gp3)  # [3, P]
+        b = -gc + self.w_u(Wps, u_g)
+
+        def apply_S(x):
+            t = self.wt_x(Wps, x)
+            u = sym6_matvec(hinv6, t)
+            return ctx._hcc_matvec(Hcc, x) - self.w_u(Wps, u)
+
+        if ctx.preconditioner == "none":
+            apply_M = lambda x: x  # noqa: E731
+        else:
+            inv_blocks = self.prec_blocks(
+                Hcc, hinv6, Wps,
+                schur_jacobi=(ctx.preconditioner == "schur_jacobi"))
+            apply_M = lambda x: ctx._entity_prec_apply(inv_blocks, x)  # noqa: E731
+
+        rtol = ctx.pcg_rtol_floor
+        if ctx.pcg_forcing and iteration is not None:
+            k = jnp.asarray(iteration, dt)
+            rtol = jnp.clip(0.1 * jnp.exp2(-k), ctx.pcg_rtol_floor, 0.1)
+        dxc = ctx._pcg(apply_S, apply_M, b, rtol=rtol)
+
+        t = self.wt_x(Wps, dxc)
+        dxp3 = sym6_matvec(hinv6, -gp3 - t)  # [3, P]
+
+        dot = ctx._dot64
+        Hdxc = ctx._hcc_matvec(Hcc, dxc)
+        Wdxp = self.w_u(Wps, dxp3)
+        Hpp_dxp = sym6_matvec(hpp6, dxp3)
+        q_damped = (
+            dot(dxc, Hdxc)
+            + 2.0 * dot(dxc, Wdxp)
+            + dot(dxp3.reshape(-1), Hpp_dxp.reshape(-1))
+        )
+        shift = ctx._pp_shift(damping)
+        q = (
+            q_damped
+            - damping * dot(dxc, dxc)
+            - shift * dot(dxp3.reshape(-1), dxp3.reshape(-1))
+        )
+        g_dot_dx = dot(gc, dxc) + dot(gp3.reshape(-1), dxp3.reshape(-1))
+        predicted = (-g_dot_dx - 0.5 * q).astype(dt)
+
+        dxp = dxp3.T  # [P, 3]
+        gp = gp3.T
+        return ctx._scatter_global(dxc, gc, dxp, gp) + (cost, predicted)

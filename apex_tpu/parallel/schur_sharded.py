@@ -38,9 +38,9 @@ def _pad_group_for_schur(cp, ctx, gi, n):
     multiple of n; returns dict of sharded leaves + static meta."""
     g = cp.groups[gi]
     Kp = int(-(-g.count // n) * n)
-    weight = jnp.concatenate(
-        [jnp.ones((g.count,), cp.dtype), jnp.zeros((Kp - g.count,), cp.dtype)]
-    )
+    base_w = (jnp.ones((g.count,), cp.dtype) if g.weights is None
+              else g.weights.astype(cp.dtype))
+    weight = jnp.concatenate([base_w, jnp.zeros((Kp - g.count,), cp.dtype)])
     leaves = dict(
         data={k: _pad_axis0(v, Kp) for k, v in g.data.items()},
         loss_params=_pad_axis0(g.loss_params, Kp),
@@ -133,6 +133,7 @@ def make_sharded_schur_step(
                 indices=tuple(indices),
                 cols=tuple(cols),
                 free_masks=tuple(masks),
+                weights=None,  # folded into `weight` by _pad_group_for_schur
                 count=weight.shape[0],
             )
             r, jacs = cp.group_linearize(values, g_local, True)

@@ -59,9 +59,9 @@ def pad_groups_for_mesh(cp: CompiledProblem, n_devices: int):
             row_offset=g.row_offset,
             count=Kp,
         )
-        weight = jnp.concatenate(
-            [jnp.ones((g.count,), cp.dtype), jnp.zeros((Kp - g.count,), cp.dtype)]
-        )
+        base_w = (jnp.ones((g.count,), cp.dtype) if g.weights is None
+                  else g.weights.astype(cp.dtype))
+        weight = jnp.concatenate([base_w, jnp.zeros((Kp - g.count,), cp.dtype)])
         out.append(ShardedGroup(padded, weight))
     return out
 
