@@ -214,11 +214,51 @@ class UniformSchur:
         return reps.reshape((ug.n * ug.cap,) + seg.shape[1:])
 
     def _linearize_planes(self, values, g):
+        """Linearize and materialize residual/Jacobians ONCE in compact
+        plane form, with the robust corrector applied plane-wise. The
+        barriers matter: without them XLA either materializes the
+        [K, rd, dof] block shapes (tile-padded up to 85x at venice scale —
+        the generic path's corrector even concatenates a [K, rd, sum_dof]
+        Jacobian) or re-fuses the whole linearization into each of the
+        ~27 downstream plane reads."""
         cp = self.ctx.cp
-        r, jacs = cp.group_linearize(values, g, True)
-        rp = r.T  # [rd, K]
-        Jp = [jnp.transpose(j, (1, 2, 0)) for j in jacs]  # [rd, dof, K]
-        return rp, Jp
+        params = cp._gather(values, g)
+        r, jacs = g.kernel(g.manifolds, g.data, params, True)
+        if g.weights is not None:
+            r = r * g.weights[:, None]
+            jacs = [j * g.weights[:, None, None] for j in jacs]
+        if any(m is not None for m in g.free_masks):
+            jacs = [
+                j if m is None else j * m[:, None, :]
+                for j, m in zip(jacs, g.free_masks)
+            ]
+        rp = jax.lax.optimization_barrier(r.T)  # [rd, K]
+        Jp = [jax.lax.optimization_barrier(jnp.transpose(j, (1, 2, 0)))
+              for j in jacs]  # [rd, dof, K]
+        if g.loss_kind == "l2":
+            return rp, Jp
+
+        # plane-form Ceres corrector (core/corrector.py):
+        #   r~ = residual_scaling * r
+        #   J~ = sqrt_rho1 * (J - alpha/s * r (r^T J))
+        from ..core.corrector import corrector_coefficients
+
+        rd = rp.shape[0]
+        s = sum(rp[d] * rp[d] for d in range(rd))  # [K]
+        sqrt_rho1, res_scale, alpha_sq = jax.lax.optimization_barrier(
+            corrector_coefficients(g.loss_kind, g.loss_params, s))
+        Jp_c = []
+        for Jps in Jp:
+            dof_s = Jps.shape[1]
+            c = [sum(rp[d] * Jps[d, i] for d in range(rd))
+                 for i in range(dof_s)]  # r^T J columns, each [K]
+            Jp_c.append(jnp.stack([
+                jnp.stack([
+                    sqrt_rho1 * (Jps[d, i] - alpha_sq * rp[d] * c[i])
+                    for i in range(dof_s)])
+                for d in range(rd)]))
+        rp_c = res_scale[None, :] * rp
+        return rp_c, Jp_c
 
     # -- assembly ----------------------------------------------------------
 
