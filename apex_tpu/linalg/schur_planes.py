@@ -196,12 +196,41 @@ class UniformSchur:
 
     # -- helpers ----------------------------------------------------------
 
+    # rows per chunk when reducing wide [K, n] stacks to entities: the
+    # stacked operand tile-pads n -> 128 lanes, so chunking bounds that
+    # transient at CHUNK*128*4 bytes (~0.5 GB) instead of K*128*4 (~3.3 GB
+    # per stack at venice scale, several of which used to be live at once).
+    ENT_CHUNK = 1 << 20
+
     def _ent_segsum(self, ug: _UGroup, vals):
         """[K, ...] -> [E, ...] camera-entity segment sum (scatter; E is
         small so this is the cheap direction)."""
         from .schur import _seg
 
         return _seg(vals, ug.perm_ent, ug.ent_sorted, self.ctx.num_entities)
+
+    def _ent_planes_segsum(self, ug: _UGroup, planes):
+        """list of n [K] planes -> [E, n] entity sums, chunked over K."""
+        E = self.ctx.num_entities
+        n = len(planes)
+        K = int(planes[0].shape[0])
+        C = self.ENT_CHUNK
+        if K <= C:
+            return jax.ops.segment_sum(
+                jnp.stack(planes, axis=1), ug.ent_ids, num_segments=E)
+        arr = jax.lax.optimization_barrier(jnp.stack(planes, axis=0))  # [n, K]
+        nc = -(-K // C)
+        Kp = nc * C
+        arr = jnp.pad(arr, ((0, 0), (0, Kp - K)))
+        ids = jnp.pad(ug.ent_ids, (0, Kp - K), constant_values=E)
+
+        def body(i, acc):
+            sl = jax.lax.dynamic_slice(arr, (0, i * C), (n, C))
+            ii = jax.lax.dynamic_slice(ids, (i * C,), (C,))
+            return acc + jax.ops.segment_sum(sl.T, ii, num_segments=E + 1)
+
+        acc0 = jnp.zeros((E + 1, n), dtype=planes[0].dtype)
+        return jax.lax.fori_loop(0, nc, body, acc0)[:E]
 
     def _lm_reduce(self, ug: _UGroup, plane):
         """[K] plane -> [n] sums over each landmark's cap-run (dense)."""
@@ -291,9 +320,8 @@ class UniformSchur:
                     for i in range(dof_s)
                 ]
                 if kinds[s] == "cam":
-                    stacked = jnp.stack(gs, axis=1)  # [K, ds]
                     l0 = ug.cam_locs[s]
-                    gsum = self._ent_segsum(ug, stacked)  # [E, ds]
+                    gsum = self._ent_planes_segsum(ug, gs)  # [E, ds]
                     gc = gc.at[:, l0:l0 + dof_s].add(gsum)
                 else:
                     for i in range(3):
@@ -309,11 +337,11 @@ class UniformSchur:
                     if kinds[s] == "lm" and kinds[t] == "cam":
                         continue
                     if kinds[s] == "cam" and kinds[t] == "cam":
-                        flat = jnp.stack([
+                        planes = [
                             sum(Jp[s][d, i] * Jp[t][d, j] for d in range(rd))
                             for i in range(ds_) for j in range(dt_)
-                        ], axis=1)  # [K, ds*dt]
-                        Hsum = self._ent_segsum(ug, flat)
+                        ]
+                        Hsum = self._ent_planes_segsum(ug, planes)
                         ls0, lt0 = ug.cam_locs[s], ug.cam_locs[t]
                         Hcc = Hcc.at[:, ls0:ls0 + ds_, lt0:lt0 + dt_].add(
                             Hsum.reshape(E, ds_, dt_))
@@ -378,11 +406,11 @@ class UniformSchur:
             Wp = Wps[ug.gi]
             ug3 = [self._lm_expand(ug, u3[j, ug.lo:ug.lo + ug.n])
                    for j in range(3)]  # 3 x [K]
-            ys = jnp.stack([
+            ys = [
                 sum(Wp[i * 3 + j] * ug3[j] for j in range(3))
                 for i in range(De)
-            ], axis=1)  # [K, De]
-            y = y + self._ent_segsum(ug, ys)
+            ]
+            y = y + self._ent_planes_segsum(ug, ys)
         return y.reshape(-1)
 
     def prec_blocks(self, Hcc, hinv6, Wps, schur_jacobi: bool):
@@ -402,11 +430,11 @@ class UniformSchur:
                     sum(Wp[i * 3 + m] * hg[SYM6[(m, j) if m <= j else (j, m)]]
                         for m in range(3))
                     for j in range(3)] for i in range(De)]
-                Z = jnp.stack([
+                Z = [
                     sum(Y[i][j] * Wp[l * 3 + j] for j in range(3))
                     for i in range(De) for l in range(De)
-                ], axis=1)  # [K, De*De]
-                acc = acc - self._ent_segsum(ug, Z).reshape(E, De, De)
+                ]
+                acc = acc - self._ent_planes_segsum(ug, Z).reshape(E, De, De)
         from .utils import spd_clamped_inv
 
         return spd_clamped_inv(acc)
