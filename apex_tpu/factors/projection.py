@@ -134,12 +134,26 @@ class ProjectionFactor(Factor):
             R = quat_to_mat(pose[..., 3:])
             p_cam = _es("...ij,...j->...i", R, p_w) + pose[..., :3]
             uv, valid = camera.project(intr, p_cam)
-            r = (uv - data["obs"]) * valid[..., None]
+            # Overflow guard on top of cheirality: a trial step that sweeps
+            # a landmark past a camera's focal plane produces |uv| ~ 1/z ->
+            # inf; in f32 the squared residual then overflows and one bad
+            # row NaNs the whole cost (the f64 reference never overflows).
+            # Mask with `where`, not multiply — NaN * 0 == NaN.
+            ok = (
+                (valid > 0)
+                & jnp.isfinite(uv).all(axis=-1)
+                & (jnp.abs(uv) < 1e8).all(axis=-1)
+            )
+            r = jnp.where(ok[..., None], uv - data["obs"], 0.0)
             if not compute_jacobian:
                 return r, None
 
             J_pc, J_intr = camera.jacobians(intr, p_cam)
-            vm = valid[..., None, None]
+            vm = ok[..., None, None]
+
+            def mask(j):
+                return jnp.where(vm, j, 0.0)
+
             jacs = []
             for slot in optimize:
                 if slot == "pose":
@@ -147,11 +161,11 @@ class ProjectionFactor(Factor):
                     dp = jnp.concatenate(
                         [R, -_es("...ij,...jk->...ik", R, skew(p_w))], axis=-1
                     )
-                    jacs.append(_es("...ij,...jk->...ik", J_pc, dp) * vm)
+                    jacs.append(mask(_es("...ij,...jk->...ik", J_pc, dp)))
                 elif slot == "landmark":
-                    jacs.append(_es("...ij,...jk->...ik", J_pc, R) * vm)
+                    jacs.append(mask(_es("...ij,...jk->...ik", J_pc, R)))
                 else:
-                    jacs.append(J_intr * vm)
+                    jacs.append(mask(J_intr))
             return r, jacs
 
         return kernel

@@ -338,6 +338,7 @@ class SchurContext:
         self.mcouplings: List[_MCoupling] = []
         self._mc_of_group = {}
         lm_np_of_mc = []  # host-side copies for pair enumeration
+        self._mc_host = []  # (lm, ent) host arrays for lazy plan builds
         for gi, g in enumerate(cp.groups):
             kinds, bases, lmids = [], [], []
             for s in range(len(g.manifolds)):
@@ -405,9 +406,10 @@ class SchurContext:
                     perm_ent=None if id_ent else jnp.asarray(
                         perm_ent.astype(np.int32)),
                     ent_sorted=jnp.asarray(ent[perm_ent].astype(np.int32)),
-                    lm_plan=_make_bucket(lm, self.num_landmarks),
-                    ent_plan=_make_bucket(ent, E),
+                    lm_plan=None,  # built lazily with the block path
+                    ent_plan=None,
                 ))
+                self._mc_host.append((lm.copy(), ent.copy()))
 
         # --- sorted-segment plans for assembly ------------------------------
         # every scatter-add in assemble() is replaced by a statically
@@ -423,6 +425,46 @@ class SchurContext:
                 n=num_segments,
                 bucket=_make_bucket(dest_idx, num_segments),
             )
+
+        self._plan_fn = _plan
+        self._asm_plans = None
+
+        # --- plane-layout fast path for uniform (bucketed) BA layouts -----
+        # (see linalg/schur_planes.py; APEX_TPU_UNIFORM=0 disables).
+        # Detected BEFORE block-path plan construction: the uniform
+        # pipeline needs none of the bucket/segment plans, whose host-side
+        # builds cost minutes at venice scale.
+        self.uniform = None
+        if variant == "iterative" and self.mcouplings:
+            import os
+
+            if os.environ.get("APEX_TPU_UNIFORM", "1") == "1":
+                from .schur_planes import detect_uniform
+
+                self.uniform = detect_uniform(self)
+        if self.uniform is None:
+            self._ensure_block_plans()
+
+        # --- static pair enumeration for the explicit variant -------------
+        self.pair_indices = None
+        if variant == "sparse":
+            self.pair_indices = self._enumerate_pairs(lm_np_of_mc)
+
+    def _ensure_block_plans(self):
+        """Build the block-path segment plans (bucket gather plans + sorted
+        scatter plans) on first need; the uniform plane pipeline never
+        touches them."""
+        if self._asm_plans is not None:
+            return
+        cp = self.cp
+        E, De = self.num_entities, self.entity_dof
+        red_of_global = self.red_of_global
+        lm_id_of_global = self._lm_id_of_global
+        _plan = self._plan_fn
+        for mc, (lm, ent) in zip(self.mcouplings, self._mc_host):
+            if mc.lm_plan is None:
+                mc.lm_plan = _make_bucket(lm, self.num_landmarks)
+                mc.ent_plan = _make_bucket(ent, E)
 
         self._asm_plans = []
         for gi, g in enumerate(cp.groups):
@@ -481,22 +523,6 @@ class SchurContext:
                         )
                         plans["hpp"][(s, t)] = ("lm", _plan(lm, self.num_landmarks), None)
             self._asm_plans.append(plans)
-
-        # --- static pair enumeration for the explicit variant -------------
-        self.pair_indices = None
-        if variant == "sparse":
-            self.pair_indices = self._enumerate_pairs(lm_np_of_mc)
-
-        # --- plane-layout fast path for uniform (bucketed) BA layouts -----
-        # (see linalg/schur_planes.py; APEX_TPU_UNIFORM=0 disables)
-        self.uniform = None
-        if variant == "iterative" and self.mcouplings:
-            import os
-
-            if os.environ.get("APEX_TPU_UNIFORM", "1") == "1":
-                from .schur_planes import detect_uniform
-
-                self.uniform = detect_uniform(self)
 
     def _enumerate_pairs(self, lm_np_of_mc):
         """For each ordered merged-coupling pair (A, B): indices (ia, ib) of
@@ -557,6 +583,7 @@ class SchurContext:
         """Linearize all groups and build (Hcc, gc, Hpp, gp, Ws, cost).
         Hcc is batched entity blocks [E, De, De]; Ws[i] is the merged
         [K, De, 3] entity<->landmark coupling array for mcouplings[i]."""
+        self._ensure_block_plans()
         cp = self.cp
         dt = cp.dtype
         E, De = self.num_entities, self.entity_dof
