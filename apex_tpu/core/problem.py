@@ -389,6 +389,7 @@ class Problem:
 
         var_loc: Dict[str, Tuple[int, int]] = {}
         pools: List[VarPool] = []
+        host_free: Dict[int, np.ndarray] = {}  # never re-pull from device
         for m, pid in sorted(pool_id_of_manifold.items(), key=lambda kv: kv[1]):
             G = get_manifold(m)
             names = pool_names[pid]
@@ -411,6 +412,7 @@ class Problem:
                     blo, bhi = self._bounds[n]
                     lb[i, : len(blo)] = blo
                     ub[i, : len(bhi)] = bhi
+            host_free[pid] = free
             pools.append(
                 VarPool(
                     manifold=G,
@@ -438,6 +440,8 @@ class Problem:
             grouped[sig].append(blk)
 
         groups: List[FactorGroup] = []
+
+        all_host_cols: List[List[np.ndarray]] = []
         row_offset = 0
         for sig in order:
             blocks = grouped[sig]
@@ -463,6 +467,7 @@ class Problem:
                 dtype,
             )
             idx_arrays, col_arrays, pool_ids, mask_arrays = [], [], [], []
+            host_cols = []
             for s in range(len(manifolds)):
                 rows = np.array([var_loc[b[0][s]][1] for b in blocks], dtype=np.int32)
                 pids = {var_loc[b[0][s]][0] for b in blocks}
@@ -473,7 +478,8 @@ class Problem:
                 pool_ids.append(pid)
                 idx_arrays.append(_to_device(rows))
                 col_arrays.append(_to_device(cols_s))
-                pool_free = np.asarray(pools[pid].free_mask)
+                host_cols.append(cols_s)
+                pool_free = host_free[pid]
                 slot_free = pool_free[rows]
                 mask_arrays.append(
                     None if np.all(slot_free == 1.0) else _to_device(slot_free, dtype)
@@ -499,6 +505,8 @@ class Problem:
             )
             row_offset += d * count
 
+            all_host_cols.append(host_cols)
+
         # Bulk-added factor batches become their own groups directly.
         for slot_keys, template, bdata, loss, loss_params, wts, count in self._bulk:
             manifolds = tuple(get_manifold(m) for m in template.var_manifolds())
@@ -514,6 +522,7 @@ class Problem:
                 lp = np.asarray(loss_params, dtype=np.float64).reshape(count, nparams)
 
             idx_arrays, col_arrays, pool_ids, mask_arrays = [], [], [], []
+            host_cols = []
             for s in range(len(manifolds)):
                 kind, names_s, base_idx = slot_keys[s]
                 if kind == "indexed":
@@ -534,7 +543,8 @@ class Problem:
                 pool_ids.append(pid)
                 idx_arrays.append(_to_device(rows))
                 col_arrays.append(_to_device(cols_s))
-                pool_free = np.asarray(pools[pid].free_mask)
+                host_cols.append(cols_s)
+                pool_free = host_free[pid]
                 slot_free = pool_free[rows]
                 mask_arrays.append(
                     None if np.all(slot_free == 1.0) else _to_device(slot_free, dtype)
@@ -564,8 +574,9 @@ class Problem:
                 )
             )
             row_offset += d * count
+            all_host_cols.append(host_cols)
 
-        return CompiledProblem(
+        cp = CompiledProblem(
             pools=pools,
             groups=groups,
             var_loc=var_loc,
@@ -573,6 +584,14 @@ class Problem:
             total_residual_dim=row_offset,
             dtype=dtype,
         )
+        # Host-side copies of index arrays: structure analysis (Schur
+        # classification, banded plans) must never pull device arrays back
+        # through the remote-TPU tunnel (~43 s per venice-scale array).
+        cp.host_group_cols = all_host_cols
+        cp.host_pool_cols = {pid: np.array([col_of[n] for n in pool.names],
+                                           dtype=np.int32)
+                             for pid, pool in enumerate(pools)}
+        return cp
 
 
 class CompiledProblem:

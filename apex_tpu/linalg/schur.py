@@ -226,8 +226,22 @@ class SchurContext:
         self.pp_shift_floor = pp_shift_floor
 
         # --- classify variables ------------------------------------------
+        # All structure analysis runs on HOST copies of the index arrays
+        # (cp.host_group_cols / host_pool_cols): device arrays pulled back
+        # through the remote-TPU tunnel cost ~43 s apiece at venice scale.
         D = cp.total_dof
+        host_pool_cols = getattr(cp, "host_pool_cols", None) or {
+            pid: np.asarray(pool.cols) for pid, pool in enumerate(cp.pools)}
+        host_group_cols = getattr(cp, "host_group_cols", None)
+
+        def gcols(gi, slot):
+            if host_group_cols is not None:
+                return host_group_cols[gi][slot]
+            return np.asarray(cp.groups[gi].cols[slot])
+
+        self._gcols = gcols
         lm_id_of_global = {}  # global col -> landmark id
+        lm_id_arr = np.full(D, -1, dtype=np.int64)  # vectorized twin
         P = 0
         for pid, pool in enumerate(cp.pools):
             if pool.manifold.dof != 3 or pool.manifold.storage_dim != 3:
@@ -235,10 +249,12 @@ class SchurContext:
             rows = [i for i, n in enumerate(pool.names) if n.startswith(eliminate_prefix)]
             if not rows:
                 continue
-            cols = np.asarray(pool.cols)
-            for i in rows:
-                lm_id_of_global[int(cols[i])] = P
-                P += 1
+            cols = host_pool_cols[pid]
+            rows = np.asarray(rows)
+            ids = P + np.arange(len(rows))
+            lm_id_arr[cols[rows]] = ids
+            lm_id_of_global.update(zip(cols[rows].tolist(), ids.tolist()))
+            P += len(rows)
         self.num_landmarks = P
         if P == 0:
             raise ValueError(
@@ -256,11 +272,10 @@ class SchurContext:
         # -> 0.5 MB of 9x9 blocks, and every PCG H_cc matvec is batched).
         cam_vars = []  # (global_col, dof) in col order
         for pid, pool in enumerate(cp.pools):
-            cols = np.asarray(pool.cols)
-            for i in range(len(pool.names)):
-                c = int(cols[i])
-                if c not in lm_id_of_global:
-                    cam_vars.append((c, pool.manifold.dof))
+            cols = host_pool_cols[pid]
+            keep = lm_id_arr[cols] < 0
+            cam_vars.extend(
+                (int(c), pool.manifold.dof) for c in cols[keep])
         cam_vars.sort()
         parent = {c: c for c, _ in cam_vars}
 
@@ -275,17 +290,18 @@ class SchurContext:
             if ra != rb:
                 parent[ra] = rb
 
-        for g in cp.groups:
+        for gi, g in enumerate(cp.groups):
             cam_slots = [
                 s for s in range(len(g.manifolds))
-                if int(np.asarray(g.cols[s])[0]) not in lm_id_of_global
+                if g.count and lm_id_arr[gcols(gi, s)[0]] < 0
             ]
             for ai in range(len(cam_slots)):
                 for bi in range(ai + 1, len(cam_slots)):
-                    ca = np.asarray(g.cols[cam_slots[ai]])
-                    cb = np.asarray(g.cols[cam_slots[bi]])
-                    for pa, pb in set(zip(ca.tolist(), cb.tolist())):
-                        union(pa, pb)
+                    ca = gcols(gi, cam_slots[ai])
+                    cb = gcols(gi, cam_slots[bi])
+                    pairs = np.unique(np.stack([ca, cb], axis=1), axis=0)
+                    for pa, pb in pairs.tolist():
+                        union(int(pa), int(pb))
 
         dof_of = dict(cam_vars)
         members = {}
@@ -311,6 +327,7 @@ class SchurContext:
         self.real_mask = real_mask
         self.red_of_global = red_of_global
         self._lm_id_of_global = lm_id_of_global
+        self._lm_id_arr = lm_id_arr
         # per-entity padding pins: diag 1.0 on padded dims keeps every
         # factorization/solve non-singular with zero right-hand side there
         self._pad_diag = jnp.asarray(
@@ -321,8 +338,8 @@ class SchurContext:
         # camera-side per-pool block info (for block preconditioners)
         self.cam_pools = []  # (pool_id, kept_rows [Nv], red_base [Nv], dof)
         for pid, pool in enumerate(cp.pools):
-            cols = np.asarray(pool.cols)
-            kept = [i for i in range(len(pool.names)) if int(cols[i]) not in lm_id_of_global]
+            cols = host_pool_cols[pid]
+            kept = np.nonzero(lm_id_arr[cols] < 0)[0].tolist()
             if kept:
                 bases = red_of_global[cols[np.asarray(kept)]]
                 self.cam_pools.append(
@@ -342,13 +359,12 @@ class SchurContext:
         for gi, g in enumerate(cp.groups):
             kinds, bases, lmids = [], [], []
             for s in range(len(g.manifolds)):
-                cols_s = np.asarray(g.cols[s])
-                is_lm = np.array([c in lm_id_of_global for c in cols_s])
+                cols_s = gcols(gi, s)
+                is_lm = lm_id_arr[cols_s] >= 0
                 if is_lm.all():
                     kinds.append("lm")
                     bases.append(None)
-                    lmids.append(jnp.asarray(np.array(
-                        [lm_id_of_global[c] for c in cols_s], dtype=np.int32)))
+                    lmids.append(jnp.asarray(lm_id_arr[cols_s].astype(np.int32)))
                 elif (~is_lm).all():
                     kinds.append("cam")
                     bases.append(jnp.asarray(red_of_global[cols_s].astype(np.int32)))
@@ -371,7 +387,7 @@ class SchurContext:
                 ent = None
                 slot_loc = {}
                 for s in cam_slots:
-                    base = red_of_global[np.asarray(g.cols[s])]
+                    base = red_of_global[gcols(gi, s)]
                     ent_s = base // De
                     if ent is None:
                         ent = ent_s
@@ -383,10 +399,7 @@ class SchurContext:
                         slot_loc[s] = ("u", int(loc[0]) if len(loc) else 0)
                     else:
                         slot_loc[s] = ("v", jnp.asarray(loc.astype(np.int32)))
-                lm = np.array(
-                    [lm_id_of_global[c] for c in np.asarray(g.cols[t])],
-                    dtype=np.int64,
-                )
+                lm = lm_id_arr[gcols(gi, t)].astype(np.int64)
                 perm_lm = np.argsort(lm, kind="stable")
                 perm_ent = np.argsort(ent, kind="stable")
                 id_lm = bool((perm_lm == np.arange(len(lm))).all())
@@ -480,7 +493,7 @@ class SchurContext:
             for s in range(len(g.manifolds)):
                 if kinds[s] != "cam":
                     continue
-                base = red_of_global[np.asarray(g.cols[s])]
+                base = red_of_global[self._gcols(gi, s)]
                 ent_of[s] = base // De
                 loc_of[s] = base - ent_of[s] * De
             for s in range(len(g.manifolds)):
@@ -491,11 +504,11 @@ class SchurContext:
                     if uniform:
                         plans["g"][s] = ("ent", _plan(ent_of[s], E), int(ls[0]) if len(ls) else 0)
                     else:
-                        base = red_of_global[np.asarray(g.cols[s])]
+                        base = red_of_global[self._gcols(gi, s)]
                         dest = base[:, None] + np.arange(ds_)
                         plans["g"][s] = ("flat", _plan(dest, self.Dc), None)
                 else:
-                    lm = np.array([lm_id_of_global[c] for c in np.asarray(g.cols[s])])
+                    lm = self._lm_id_arr[self._gcols(gi, s)]
                     plans["g"][s] = ("lm", _plan(lm, self.num_landmarks), None)
                 for t in range(len(g.manifolds)):
                     dt_ = g.manifolds[t].dof
@@ -509,8 +522,8 @@ class SchurContext:
                             l0 = (int(ls[0]), int(lt[0])) if len(ls) else (0, 0)
                             plans["hcc"][(s, t)] = ("ent", _plan(ent_of[s], E), l0)
                         else:
-                            bs = red_of_global[np.asarray(g.cols[s])]
-                            bt = red_of_global[np.asarray(g.cols[t])]
+                            bs = red_of_global[self._gcols(gi, s)]
+                            bt = red_of_global[self._gcols(gi, t)]
                             dest = (
                                 (bs // De)[:, None, None] * (De * De)
                                 + (ls[:, None, None] + np.arange(ds_)[None, :, None]) * De
@@ -518,9 +531,7 @@ class SchurContext:
                             )
                             plans["hcc"][(s, t)] = ("flat", _plan(dest, E * De * De), None)
                     elif kinds[s] == "lm" and kinds[t] == "lm":
-                        lm = np.array(
-                            [lm_id_of_global[c] for c in np.asarray(g.cols[s])]
-                        )
+                        lm = self._lm_id_arr[self._gcols(gi, s)]
                         plans["hpp"][(s, t)] = ("lm", _plan(lm, self.num_landmarks), None)
             self._asm_plans.append(plans)
 

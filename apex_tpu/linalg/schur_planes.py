@@ -145,7 +145,7 @@ def detect_uniform(ctx) -> Optional["UniformSchur"]:
                 if kind != "u":
                     return None
                 cam_locs[s] = loc
-            lm = np.asarray(mc.lm_ids)
+            lm, _ = ctx._mc_host[mci]  # host copy — never pull from device
             K = lm.shape[0]
             runs = np.nonzero(np.diff(lm))[0]
             cap = int(runs[0] + 1) if runs.size else K
@@ -167,7 +167,7 @@ def detect_uniform(ctx) -> Optional["UniformSchur"]:
         else:
             # camera-only group: offsets must still be uniform
             for s in cam_slots:
-                base = np.asarray(ctx.slot_red_base[gi][s])
+                base = ctx.red_of_global[ctx._gcols(gi, s)]
                 loc = base - (base // ctx.entity_dof) * ctx.entity_dof
                 if loc.size and not (loc == loc[0]).all():
                     return None

@@ -131,6 +131,42 @@ def bench_ba_trafalgar(dtype, runs):
             "vs_baseline": round(10.39 / best, 3)}
 
 
+def bench_ba_dubrovnik(dtype, runs):
+    """Large-BA rung: dubrovnik-356-scale self-calibration (356 cams /
+    227k pts / ~1.26M obs), implicit Schur over the bucketed plane
+    pipeline. Baseline 47.16 s; stop at the reference's final RMSE
+    0.533 px (pixel noise 0.75 so that quality is reachable on the
+    synthetic)."""
+    import apex_tpu as apx
+    from apex_tpu.ba import build_ba_problem, rmse
+    from apex_tpu.io import synthetic
+
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=356, n_points=226_730, obs_per_camera=3526,
+        pixel_noise=0.75, seed=0)
+    cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
+    target_cost = (0.533 ** 2) * ds.num_observations
+    cfg = apx.LevenbergMarquardtConfig(
+        linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
+        max_iterations=30, mode="jit", min_cost_threshold=target_cost)
+    lm = apx.LevenbergMarquardt(cfg)
+    result = lm.optimize(cp)
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        result = lm.optimize(cp)
+        best = min(best, time.perf_counter() - t0)
+    r0 = rmse(result.initial_cost, ds.num_observations)
+    r1 = rmse(result.final_cost, ds.num_observations)
+    _log(f"# dubrovnik-356 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
+         f"| best {best:.2f}s")
+    if not (r1 < 0.60):
+        raise RuntimeError(f"BA did not reach target RMSE: {r0:.3f}->{r1:.3f}")
+    return {"metric": "dubrovnik356_synthetic_ba_solve",
+            "value": round(best, 3), "unit": "s",
+            "vs_baseline": round(47.16 / best, 3)}
+
+
 def main():
     import numpy as np
 
@@ -148,6 +184,7 @@ def main():
         ("sphere2500", lambda: bench_sphere2500(dtype, runs)),
         ("m3500", lambda: bench_m3500(dtype, runs)),
         ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2))),
+        ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2))),
         ("pose50k", lambda: bench_50k(dtype)),
     ]
     results = []
