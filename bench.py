@@ -3,11 +3,15 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The four required keys carry the headline workload (sphere2500-class SE3
 pose graph); "extra" carries the rest of the ladder (SE2 M3500-scale,
-50k-pose banded solve, trafalgar-257-scale bundle adjustment), each with
-its own BASELINE.md ratio. Per-metric human-readable lines go to stderr.
+trafalgar-257 and dubrovnik-356 bundle adjustment to reference-final
+RMSE, 50k-pose banded solve), each with its BASELINE.md ratio.
+Per-metric human-readable lines go to stderr.
 
-Baselines (BASELINE.md, reference on an M4 Mac Mini):
-  sphere2500 176.3 ms | M3500 103.5 ms | trafalgar-257 BA 10.39 s.
+Baselines (BASELINE.md, reference on an M4 Mac Mini): sphere2500
+176.3 ms | M3500 103.5 ms | trafalgar 10.39 s | dubrovnik 47.16 s.
+Venice-scale results live in benches/tpu_venice.py + doc/performance.md
+(12.2 s to converged quality vs 83.17 s reference = 6.8x; too heavy for
+the per-round bench budget).
 Datasets are scale/sparsity-matched synthetics (no network egress for the
 real files; the real files load through the same apex_tpu.io paths).
 
