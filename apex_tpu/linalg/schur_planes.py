@@ -33,14 +33,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .smallmm import vdot as _vdot
-
 # symmetric 3x3 plane order
 SYM6 = {(0, 0): 0, (0, 1): 1, (0, 2): 2, (1, 1): 3, (1, 2): 4, (2, 2): 5}
-
-
-def sym6_at(h6, i, j):
-    return h6[SYM6[(i, j) if i <= j else (j, i)]]
 
 
 def sym6_matvec(h6, v3):
@@ -188,11 +182,6 @@ class UniformSchur:
     def __init__(self, ctx, ugroups: List[_UGroup]):
         self.ctx = ctx
         self.ugroups = ugroups
-        # ent-direction segment plans per uniform group (camera side)
-        self._ent_plan = {}
-        for ug in ugroups:
-            if ug.ent_ids is not None:
-                self._ent_plan[ug.gi] = (ug.perm_ent, ug.ent_sorted)
 
     # -- helpers ----------------------------------------------------------
 
@@ -201,13 +190,6 @@ class UniformSchur:
     # transient at CHUNK*128*4 bytes (~0.5 GB) instead of K*128*4 (~3.3 GB
     # per stack at venice scale, several of which used to be live at once).
     ENT_CHUNK = 1 << 20
-
-    def _ent_segsum(self, ug: _UGroup, vals):
-        """[K, ...] -> [E, ...] camera-entity segment sum (scatter; E is
-        small so this is the cheap direction)."""
-        from .schur import _seg
-
-        return _seg(vals, ug.perm_ent, ug.ent_sorted, self.ctx.num_entities)
 
     def _ent_planes_segsum(self, ug: _UGroup, planes):
         """list of n [K] planes -> [E, n] entity sums, chunked over K."""
