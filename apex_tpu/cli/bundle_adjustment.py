@@ -52,19 +52,31 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.platform:
-        import jax
-
-        jax.config.update("jax_platforms", args.platform)
 
     import apex_tpu as apx
     from apex_tpu.ba import build_ba_problem, rmse
     from apex_tpu.core.losses import LOSS_BY_NAME
     from apex_tpu.io import load_bal, synthetic
     from apex_tpu.io.datasets import ensure_ba_dataset
-    from apex_tpu.utils import init_logger
+    from apex_tpu.utils import auto_pin_platform, init_logger
 
     log = init_logger()
+
+    # Pin BEFORE loading/generating (those paths touch jax and would
+    # commit the backend). BAL headers carry the sizes on line one;
+    # synthetic sizes come from the flags.
+    if args.synthetic:
+        n_cams, n_pts = args.cameras, args.points
+    else:
+        path = ensure_ba_dataset(args.dataset) if args.dataset else args.file
+        try:
+            with open(path) as f:
+                n_cams, n_pts, _ = (int(t) for t in f.readline().split()[:3])
+        except (OSError, ValueError):
+            n_cams, n_pts = 1 << 20, 1 << 20  # unparseable: don't pin
+    if args.max_points is not None:
+        n_pts = min(args.max_points, n_pts)
+    auto_pin_platform(n_cams * 9 + n_pts * 3, args.platform, log)
 
     if args.synthetic:
         ds = synthetic.synthetic_ba(n_cameras=args.cameras, n_points=args.points)

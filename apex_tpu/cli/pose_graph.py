@@ -52,6 +52,30 @@ def build_parser():
     return p
 
 
+def estimate_dof(args):
+    """Cheap DOF estimate WITHOUT touching jax (graph generation/loading
+    initializes the backend, so the CPU pin decision must come first)."""
+    if args.synthetic:
+        return args.poses * (6 if args.synthetic == "sphere" else 3)
+    path = args.file
+    if args.dataset:
+        from apex_tpu.io.datasets import ensure_pose_graph_dataset
+
+        path = ensure_pose_graph_dataset(args.dataset)
+    n_se2 = n_se3 = 0
+    try:
+        with open(path) as f:
+            for line in f:
+                tag = line.split(maxsplit=1)[0] if line.strip() else ""
+                if tag in ("VERTEX_SE2", "VERTEX2"):
+                    n_se2 += 1
+                elif tag == "VERTEX_SE3:QUAT":
+                    n_se3 += 1
+    except OSError:
+        return 1 << 30  # unreadable: don't pin; the loader will error
+    return n_se2 * 3 + n_se3 * 6
+
+
 def load_graph(args):
     from apex_tpu.io import load_g2o, load_toro, synthetic
     from apex_tpu.io.datasets import ensure_pose_graph_dataset
@@ -116,15 +140,12 @@ def make_solver(kind, args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.platform:
-        import jax
 
-        jax.config.update("jax_platforms", args.platform)
-
-    from apex_tpu.utils import init_logger
+    from apex_tpu.utils import auto_pin_platform, init_logger
 
     log = init_logger()
 
+    auto_pin_platform(estimate_dof(args), args.platform, log)
     graph, name = load_graph(args)
     log.info(
         "loaded %s: %d vertices, %d edges (%s)",

@@ -29,6 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.problem import CompiledProblem
 from ..linalg.schur import SchurContext, invert_landmark_blocks
+from ..linalg.utils import spd_clamped_inv
 from ..optim.common import compute_step_quality
 from .sharding import _pad_axis0
 
@@ -255,7 +256,12 @@ def make_sharded_schur_step(
                 ]
                 if pid in per_pool_acc:
                     B = B - per_pool_acc[pid][kept_rows]
-                blocks.append((bases, d, jnp.linalg.inv(B)))
+                # spd_clamped_inv, not jnp.linalg.inv: LuDecomposition only
+                # implements f32 on TPU so linalg.inv is banned from solver
+                # paths (doc/performance.md numerics finding 3); the clamped
+                # eigendecomposition inverse also regularizes near-singular
+                # preconditioner blocks instead of exploding.
+                blocks.append((bases, d, spd_clamped_inv(B)))
 
             def apply_M(x):
                 return SchurContext._apply_blocks(blocks, x)

@@ -1,3 +1,4 @@
 from .logger import init_logger
+from .platform import auto_pin_platform
 
-__all__ = ["init_logger"]
+__all__ = ["init_logger", "auto_pin_platform"]

@@ -1,0 +1,73 @@
+"""Direct plane-vs-block-vs-flat parity on the SAME problem.
+
+The bucketed plane pipeline (linalg/schur_planes.py) is the default for
+uniform BA layouts; the block path (linalg/schur.py assemble/solve) is the
+general fallback, and ``layout="flat"`` skips bucketing entirely. Each
+was previously only tested against dense on different problems — this
+pins all three to each other directly so the fallback cannot rot under
+the default (round-2 VERDICT weak #6; the reference's analogous
+explicit-vs-iterative agreement tests live at explicit_schur.rs:1299-1363).
+"""
+
+import numpy as np
+import pytest
+
+import apex_tpu as apx
+from apex_tpu.ba import build_ba_problem
+from apex_tpu.io import synthetic
+from apex_tpu.linalg.schur import SchurContext
+
+
+@pytest.fixture(scope="module")
+def ba_dataset():
+    return synthetic.synthetic_ba(n_cameras=6, n_points=90, seed=7)
+
+
+def _compile(ds, layout, uniform_env, monkeypatch):
+    monkeypatch.setenv("APEX_TPU_UNIFORM", uniform_env)
+    return build_ba_problem(ds, mode="self_calibration", layout=layout).compile(
+        dtype=np.float64)
+
+
+def _single_solve(cp):
+    ctx = SchurContext(cp, variant="iterative", pcg_tolerance=1e-14,
+                       pcg_max_iterations=2000, pcg_forcing=False)
+    values = cp.initial_values()
+    dx, g, cost, predicted = ctx.solve(values, damping=1e-3)
+    return ctx, np.asarray(dx), np.asarray(g), float(cost), float(predicted)
+
+
+def test_plane_and_block_paths_match_on_same_problem(ba_dataset, monkeypatch):
+    cp_u = _compile(ba_dataset, "bucketed", "1", monkeypatch)
+    ctx_u, dx_u, g_u, cost_u, pred_u = _single_solve(cp_u)
+    assert ctx_u.uniform is not None, "plane pipeline not engaged"
+
+    cp_b = _compile(ba_dataset, "bucketed", "0", monkeypatch)
+    ctx_b, dx_b, g_b, cost_b, pred_b = _single_solve(cp_b)
+    assert ctx_b.uniform is None, "APEX_TPU_UNIFORM=0 must disable planes"
+
+    # identical layout => identical column space: compare vectors directly
+    np.testing.assert_allclose(cost_b, cost_u, rtol=1e-12)
+    np.testing.assert_allclose(g_b, g_u, rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(dx_b, dx_u, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(pred_b, pred_u, rtol=1e-7)
+
+
+def test_flat_layout_end_to_end_matches(ba_dataset, monkeypatch):
+    """layout="flat" (no bucketing, one landmark-sorted group) must reach
+    the same final cost through a full LM solve — previously flat had no
+    e2e coverage at all."""
+    monkeypatch.setenv("APEX_TPU_UNIFORM", "1")
+    cfg = apx.LevenbergMarquardtConfig(
+        linear_solver_type="schur_implicit", max_iterations=12,
+        pcg_tolerance=1e-12, pcg_max_iterations=1000)
+
+    costs = {}
+    for layout in ("bucketed", "flat"):
+        cp = build_ba_problem(
+            ba_dataset, mode="self_calibration", layout=layout
+        ).compile(dtype=np.float64)
+        res = apx.LevenbergMarquardt(cfg).optimize(cp)
+        costs[layout] = res.final_cost
+        assert res.final_cost < res.initial_cost
+    np.testing.assert_allclose(costs["flat"], costs["bucketed"], rtol=1e-10)
