@@ -760,6 +760,23 @@ class CompiledProblem:
             total = total + jnp.sum(arr * arr)
         return jnp.sqrt(total)
 
+    def normal_diag_max(self, values) -> jnp.ndarray:
+        """max_i (J^T J)_{ii} without assembling H — one linearization.
+        Used by the Madsen-Nielsen adaptive initial damping
+        (lambda_0 = tau * max diag; Methods for Non-Linear Least Squares
+        Problems, alg. 3.16). The reference hardcodes lambda_0 = 1e-3
+        (lm.rs:319-359); on well-initialized pose graphs that wastes
+        several LM iterations just ramping the damping down."""
+        diag = jnp.zeros((self.total_dof,), dtype=self.dtype)
+        for g in self.groups:
+            _, jacs = self.group_linearize(values, g, True)
+            for s in range(len(g.manifolds)):
+                dof = g.manifolds[s].dof
+                sq = jnp.sum(jacs[s] * jacs[s], axis=1)  # [K, dof]
+                cols = g.cols[s][:, None] + jnp.arange(dof, dtype=g.cols[s].dtype)
+                diag = diag.at[cols].add(sq)
+        return jnp.max(diag)
+
     # -- debugging -----------------------------------------------------------
 
     def dump_debug(self, directory, values, with_jacobian: bool = False):

@@ -176,39 +176,48 @@ def _mm(a, b):
 def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                           stages: int = 5, refine: int = 1,
                           base_blocks: int = 2,
-                          recompute_l0: bool | None = None):
+                          recompute_l0: bool | None = None,
+                          refine_rtol: float | None = None):
     """Core block-cyclic-reduction solve on block-tridiagonal storage:
     returns solve_blocks(Dg [n,m,m], Cg [n,m,m] (Cg[i] = A[i, i-1], Cg[0]
     zero), b [n,m], damping) -> x [n*m] solving (A + damping I) x = b, with
-    the 5-stage escalating-regularization retry and ``refine`` rounds of
-    iterative refinement.
+    the 5-stage escalating-regularization retry and up to ``refine`` rounds
+    of iterative refinement.
 
-    ``recompute_l0``: do not stash the level-0 (L, X, Y, beta) — at
-    ~3*(n/2)*m*m elements that is the dominant term of CR's working set —
-    and instead recompute them during back-substitution from the level-0
-    inputs (which are function arguments, alive regardless). Costs one
-    extra batched cholesky + 3 triangular solves (~30% more solve flops at
-    level 0, a few ms) and nearly halves peak HBM, lifting the single-chip
-    loop-closure-span limit documented in doc/performance.md. Default
-    (None): on when the level-0 stash would exceed 128 MB."""
+    Kernel-count discipline (the solve is launch-latency-bound on TPU at
+    pose-graph scale — the math per level is microseconds of MXU time):
+    each level issues ONE batched cholesky, ONE batched triangular solve
+    with the [C_j | C_{j+1}^T | b_j] right-hand sides concatenated, and ONE
+    batched Gram matmul U^T U whose slices are all five update products
+    (X^T X, Y^T Y, Y^T X, X^T b, Y^T b). Refinement only runs when the
+    first solve's true residual exceeds ``refine_rtol``·||b|| (lax.cond),
+    instead of unconditionally doubling every solve.
+
+    ``recompute_l0``: do not stash the level-0 (L, U) — at ~3*(n/2)*m*m
+    elements the dominant term of CR's working set — and recompute them
+    during back-substitution from the level-0 inputs (function arguments,
+    alive regardless). Costs ~30% more level-0 solve flops and nearly
+    halves peak HBM. Default (None): on when the stash would exceed
+    128 MB."""
     n = -(-D // m)
     Dp = n * m
     if recompute_l0 is None:
         stash_bytes = 3 * (n // 2) * m * m * jnp.dtype(dtype).itemsize
         recompute_l0 = stash_bytes > 128 * 2**20
+    if refine_rtol is None:
+        refine_rtol = 1e-10 if jnp.dtype(dtype) == jnp.float64 else 2e-5
 
     def _elim_factors(Dg, Cg, bv):
-        """(L, X, Y, beta) of the odd-block elimination for one level
-        (inputs already odd-padded)."""
+        """(L, U) of the odd-block elimination for one level (inputs
+        already odd-padded). U = L^{-1} [C_j | C_{j+1}^T | b_j] packs
+        X, Y, beta into one triangular solve."""
         Dj = Dg[1::2]
         L = jax.lax.linalg.cholesky(Dj)
         Cj = Cg[1::2]
         Cn = jnp.concatenate([Cg[2::2], jnp.zeros((1, m, m), dtype)])
-        X = jax.lax.linalg.triangular_solve(L, Cj, left_side=True, lower=True)
-        Y = jax.lax.linalg.triangular_solve(L, _bmt(Cn), left_side=True, lower=True)
-        beta = jax.lax.linalg.triangular_solve(
-            L, bv[1::2][..., None], left_side=True, lower=True)[..., 0]
-        return L, X, Y, beta
+        rhs = jnp.concatenate([Cj, _bmt(Cn), bv[1::2][..., None]], axis=2)
+        U = jax.lax.linalg.triangular_solve(L, rhs, left_side=True, lower=True)
+        return L, U
 
     def _odd_pad(Dg, Cg, bv):
         eye1 = jnp.eye(m, dtype=dtype)[None]
@@ -226,22 +235,29 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
             padded = bool(nn % 2)
             if padded:
                 Dg, Cg, bv = _odd_pad(Dg, Cg, bv)
-            L, X, Y, beta = _elim_factors(Dg, Cg, bv)
+            L, U = _elim_factors(Dg, Cg, bv)
+            # one Gram product carries all five update blocks
+            G = _mm(_bmt(U), U)  # [nb, 2m+1, 2m+1]
+            XtX = G[:, :m, :m]
+            YtY = G[:, m:2 * m, m:2 * m]
+            YtX = G[:, m:2 * m, :m]
+            Xtb = G[:, :m, 2 * m]
+            Ytb = G[:, m:2 * m, 2 * m]
             De = Dg[0::2]
-            De = De.at[:].add(-_mm(_bmt(X), X))
-            De = De.at[1:].add(-(_mm(_bmt(Y), Y))[:-1])
+            De = De.at[:].add(-XtX)
+            De = De.at[1:].add(-YtY[:-1])
             Ce = jnp.zeros_like(De)
-            Ce = Ce.at[1:].set(-(_mm(_bmt(Y), X))[:-1])
+            Ce = Ce.at[1:].set(-YtX[:-1])
             be = bv[0::2]
-            be = be.at[:].add(-(_mm(_bmt(X), beta[..., None]))[..., 0])
-            be = be.at[1:].add(-(_mm(_bmt(Y), beta[..., None]))[..., 0][:-1])
+            be = be.at[:].add(-Xtb)
+            be = be.at[1:].add(-Ytb[:-1])
             if level == 0 and recompute_l0:
                 # drop the stash; back-substitution re-derives it from the
                 # ORIGINAL args (re-padding there if needed) so no padded
                 # copy stays alive either
                 levels.append(("recompute", padded))
             else:
-                levels.append((L, X, Y, beta))
+                levels.append((L, U))
             Dg, Cg, bv = De, Ce, be
             level += 1
         nb = Dg.shape[0]
@@ -258,13 +274,15 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                 d0, c0, b0 = args0
                 if entry[1]:
                     d0, c0, b0 = _odd_pad(d0, c0, b0)
-                L, X, Y, beta = _elim_factors(d0, c0, b0)
+                L, U = _elim_factors(d0, c0, b0)
             else:
-                L, X, Y, beta = entry
-            nb_ = X.shape[0]
+                L, U = entry
+            nb_ = U.shape[0]
             xnext = jnp.concatenate([xe[1:], jnp.zeros((1, m), dtype)])[:nb_]
-            z = (beta - (_mm(X, xe[:nb_, :, None]))[..., 0]
-                 - (_mm(Y, xnext[:, :, None]))[..., 0])
+            beta = U[:, :, 2 * m]
+            # z = beta - X xe - Y xnext in ONE batched matvec over [X | Y]
+            v = jnp.concatenate([xe[:nb_], xnext], axis=1)  # [nb, 2m]
+            z = beta - (_mm(U[:, :, :2 * m], v[..., None]))[..., 0]
             xo = jax.lax.linalg.triangular_solve(
                 L, z[..., None], left_side=True, lower=True, transpose_a=True
             )[..., 0]
@@ -281,15 +299,32 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
         trace_d = jnp.sum(diag) / D + damp
         eye = jnp.eye(m, dtype=dtype)[None]
 
+        def _residual(Dgs, x):
+            xb = x.reshape(n, m)
+            hx = (_mm(Dgs, xb[:, :, None]))[..., 0]
+            hx = hx.at[1:].add((_mm(Cg[1:], xb[:-1, :, None]))[..., 0])
+            hx = hx.at[:-1].add((_mm(_bmt(Cg[1:]), xb[1:, :, None]))[..., 0])
+            return bp - hx
+
         def attempt(shift):
-            x = solve_once(Dg0 + shift * eye, Cg, bp)
+            Dgs = Dg0 + shift * eye
+            x = solve_once(Dgs, Cg, bp)
+            if refine <= 0:
+                return x
+            btol2 = (refine_rtol ** 2) * jnp.sum(bp * bp)
+
+            def refine_body(x):
+                res = _residual(Dgs, x)
+                need = jnp.sum(res * res) > btol2
+                return jax.lax.cond(
+                    need,
+                    lambda x: x + solve_once(Dgs, Cg, res),
+                    lambda x: x,
+                    x,
+                )
+
             for _ in range(refine):
-                xb = x.reshape(n, m)
-                hx = (_mm(Dg0 + shift * eye, xb[:, :, None]))[..., 0]
-                hx = hx.at[1:].add((_mm(Cg[1:], xb[:-1, :, None]))[..., 0])
-                hx = hx.at[:-1].add((_mm(_bmt(Cg[1:]), xb[1:, :, None]))[..., 0])
-                res = bp - hx
-                x = x + solve_once(Dg0 + shift * eye, Cg, res)
+                x = refine_body(x)
             return x
 
         dx = attempt(damp)

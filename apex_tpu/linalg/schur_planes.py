@@ -111,7 +111,7 @@ class _UGroup:
     n: int
     ent_ids: jnp.ndarray  # [K]
     perm_ent: Optional[jnp.ndarray]
-    ent_sorted: jnp.ndarray
+    ent_sorted: Optional[jnp.ndarray]
     cam_locs: Dict[int, int]  # cam slot -> entity-local column offset
     lm_slot: Optional[int]
 
@@ -120,9 +120,15 @@ def detect_uniform(ctx) -> Optional["UniformSchur"]:
     """Build the plane pipeline when every group fits the uniform layout:
     all camera slots have a fixed entity-local offset, and each group's
     landmark ids are consecutive runs of equal length covering a
-    consecutive range disjoint from other groups'."""
+    consecutive range disjoint from other groups'.
+
+    Also records host-side per-group metadata (``host_meta``) so the
+    sharded twin (parallel/schur_planes_sharded.py) can partition the
+    observation planes and landmark ranges across a device mesh without
+    pulling anything back from the device."""
     cp = ctx.cp
     ugroups: List[_UGroup] = []
+    host_meta = []
     ranges = []
     for gi, g in enumerate(cp.groups):
         kinds = ctx.slot_kind[gi]
@@ -139,7 +145,7 @@ def detect_uniform(ctx) -> Optional["UniformSchur"]:
                 if kind != "u":
                     return None
                 cam_locs[s] = loc
-            lm, _ = ctx._mc_host[mci]  # host copy — never pull from device
+            lm, ent_host = ctx._mc_host[mci]  # host copies — never pull from device
             K = lm.shape[0]
             runs = np.nonzero(np.diff(lm))[0]
             cap = int(runs[0] + 1) if runs.size else K
@@ -158,30 +164,61 @@ def detect_uniform(ctx) -> Optional["UniformSchur"]:
                 ent_sorted=mc.ent_sorted, cam_locs=cam_locs,
                 lm_slot=mc.lm_slot,
             ))
+            host_meta.append(dict(gi=gi, cap=cap, lo=lo, n=n,
+                                  ent_host=ent_host, cam_locs=cam_locs,
+                                  lm_slot=mc.lm_slot))
         else:
-            # camera-only group: offsets must still be uniform
+            # camera-only group (e.g. pose priors): offsets must still be
+            # uniform, and its entity ids come straight from the reduced
+            # column map (all slots of one factor share an entity).
+            ent_host = None
             for s in cam_slots:
                 base = ctx.red_of_global[ctx._gcols(gi, s)]
                 loc = base - (base // ctx.entity_dof) * ctx.entity_dof
                 if loc.size and not (loc == loc[0]).all():
                     return None
                 cam_locs[s] = int(loc[0]) if loc.size else 0
+                if ent_host is None:
+                    ent_host = (base // ctx.entity_dof).astype(np.int64)
+            if ent_host is None:  # no slots at all — degenerate group
+                ent_host = np.zeros(g.count, dtype=np.int64)
             ugroups.append(_UGroup(
                 gi=gi, cap=0, lo=0, n=0,
-                ent_ids=None, perm_ent=None, ent_sorted=None,
+                ent_ids=jnp.asarray(ent_host.astype(np.int32)),
+                perm_ent=None, ent_sorted=None,
                 cam_locs=cam_locs, lm_slot=None,
             ))
+            host_meta.append(dict(gi=gi, cap=0, lo=0, n=0,
+                                  ent_host=ent_host, cam_locs=cam_locs,
+                                  lm_slot=None))
     ranges.sort()
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         if b0 < a1:
             return None  # overlapping landmark ranges
-    return UniformSchur(ctx, ugroups)
+    u = UniformSchur(ctx, ugroups)
+    u.host_meta = host_meta
+    return u
 
 
 class UniformSchur:
     def __init__(self, ctx, ugroups: List[_UGroup]):
         self.ctx = ctx
         self.ugroups = ugroups
+        # landmark-plane extent: the sharded subclass narrows this to its
+        # per-chip partition (sum of local range lengths)
+        self.num_landmarks = ctx.num_landmarks
+        self.host_meta = None  # set by detect_uniform
+
+    # -- sharding hooks ----------------------------------------------------
+    # The multi-chip twin (parallel/schur_planes_sharded.py) subclasses
+    # with: _group -> the chip-local factor group, _allreduce -> psum over
+    # the mesh axis. Single-chip semantics are the identity versions.
+
+    def _group(self, gi):
+        return self.ctx.cp.groups[gi]
+
+    def _allreduce(self, x):
+        return x
 
     # -- helpers ----------------------------------------------------------
 
@@ -279,7 +316,7 @@ class UniformSchur:
         ctx = self.ctx
         cp = ctx.cp
         dt = cp.dtype
-        E, De, P = ctx.num_entities, ctx.entity_dof, ctx.num_landmarks
+        E, De, P = ctx.num_entities, ctx.entity_dof, self.num_landmarks
         Hcc = jnp.zeros((E, De, De), dtype=dt)
         gc = jnp.zeros((E, De), dtype=dt)
         hpp6 = jnp.zeros((6, P), dtype=dt)
@@ -288,7 +325,7 @@ class UniformSchur:
         Wps: Dict[int, jnp.ndarray] = {}
 
         for ug in self.ugroups:
-            g = cp.groups[ug.gi]
+            g = self._group(ug.gi)
             rp, Jp = self._linearize_planes(values, g)
             rd = rp.shape[0]
             cost = cost + 0.5 * jnp.sum(rp * rp)
@@ -350,6 +387,13 @@ class UniformSchur:
                 Wps[ug.gi] = jnp.stack(
                     [zero if r is None else r for r in w_rows])  # [De*3, K]
 
+        # entity-direction partials reduce over the mesh (identity on one
+        # chip); landmark planes (hpp6/gp3) stay chip-local — each chip
+        # owns its landmark partition outright.
+        Hcc = self._allreduce(Hcc)
+        gc = self._allreduce(gc)
+        cost = self._allreduce(cost)
+
         eye = jnp.eye(De, dtype=dt)
         Hcc = Hcc + ctx._pad_diag.astype(dt)[:, :, None] * eye
         if damping is not None:
@@ -362,9 +406,10 @@ class UniformSchur:
     # -- products ----------------------------------------------------------
 
     def wt_x(self, Wps, xc):
-        """[Dc] -> [3, P]: t = W^T x."""
+        """[Dc] -> [3, P]: t = W^T x. Chip-local even when sharded: every
+        landmark's full observation run lives on one chip."""
         ctx = self.ctx
-        E, De, P = ctx.num_entities, ctx.entity_dof, ctx.num_landmarks
+        E, De, P = ctx.num_entities, ctx.entity_dof, self.num_landmarks
         xeT = xc.reshape(E, De).T  # [De, E] small
         t = jnp.zeros((3, P), dtype=xc.dtype)
         for ug in self.ugroups:
@@ -393,13 +438,13 @@ class UniformSchur:
                 for i in range(De)
             ]
             y = y + self._ent_planes_segsum(ug, ys)
-        return y.reshape(-1)
+        return self._allreduce(y).reshape(-1)
 
     def prec_blocks(self, Hcc, hinv6, Wps, schur_jacobi: bool):
         """Entity diagonal blocks of S, inverted (Schur-Jacobi)."""
         ctx = self.ctx
         E, De = ctx.num_entities, ctx.entity_dof
-        acc = Hcc
+        corr = jnp.zeros((E, De, De), dtype=Hcc.dtype)
         if schur_jacobi:
             for ug in self.ugroups:
                 if ug.lm_slot is None:
@@ -416,10 +461,10 @@ class UniformSchur:
                     sum(Y[i][j] * Wp[l * 3 + j] for j in range(3))
                     for i in range(De) for l in range(De)
                 ]
-                acc = acc - self._ent_planes_segsum(ug, Z).reshape(E, De, De)
+                corr = corr + self._ent_planes_segsum(ug, Z).reshape(E, De, De)
         from .utils import spd_clamped_inv
 
-        return spd_clamped_inv(acc)
+        return spd_clamped_inv(Hcc - self._allreduce(corr))
 
     # -- full solve --------------------------------------------------------
 
@@ -456,6 +501,8 @@ class UniformSchur:
         t = self.wt_x(Wps, dxc)
         dxp3 = sym6_matvec(hinv6, -gp3 - t)  # [3, P]
 
+        # landmark-direction dots are chip-local partials when sharded;
+        # everything camera-side is replicated
         dot = ctx._dot64
         Hdxc = ctx._hcc_matvec(Hcc, dxc)
         Wdxp = self.w_u(Wps, dxp3)
@@ -463,17 +510,21 @@ class UniformSchur:
         q_damped = (
             dot(dxc, Hdxc)
             + 2.0 * dot(dxc, Wdxp)
-            + dot(dxp3.reshape(-1), Hpp_dxp.reshape(-1))
+            + self._allreduce(dot(dxp3.reshape(-1), Hpp_dxp.reshape(-1)))
         )
         shift = ctx._pp_shift(damping)
         q = (
             q_damped
             - damping * dot(dxc, dxc)
-            - shift * dot(dxp3.reshape(-1), dxp3.reshape(-1))
+            - shift * self._allreduce(dot(dxp3.reshape(-1), dxp3.reshape(-1)))
         )
-        g_dot_dx = dot(gc, dxc) + dot(gp3.reshape(-1), dxp3.reshape(-1))
+        g_dot_dx = dot(gc, dxc) + self._allreduce(
+            dot(gp3.reshape(-1), dxp3.reshape(-1)))
         predicted = (-g_dot_dx - 0.5 * q).astype(dt)
 
-        dxp = dxp3.T  # [P, 3]
-        gp = gp3.T
-        return ctx._scatter_global(dxc, gc, dxp, gp) + (cost, predicted)
+        return self._finish(dxc, gc, dxp3, gp3) + (cost, predicted)
+
+    def _finish(self, dxc, gc, dxp3, gp3):
+        """Scatter (step, gradient) back to the global tangent layout.
+        The sharded subclass first all-gathers its landmark partition."""
+        return self.ctx._scatter_global(dxc, gc, dxp3.T, gp3.T)

@@ -271,7 +271,7 @@ class DogLeg(LevenbergMarquardt):
 
         return step
 
-    def _init_damping_state(self, cp: CompiledProblem):
+    def _init_damping_state(self, cp: CompiledProblem, values=None):
         dl = self.dl_config
         D = cp.total_dof
         zeros = jnp.zeros((D,), dtype=cp.dtype)

@@ -87,6 +87,15 @@ def make_sharded_schur_step(
         preconditioner=preconditioner,
         pcg_max_iterations=pcg_max_iterations, pcg_tolerance=pcg_tolerance,
     )
+    if ctx.uniform is not None:
+        # Uniform (bucketed) layout: landmark-PARTITIONED plane pipeline —
+        # per-chip memory is 1/nd of everything landmark- or observation-
+        # sized. The block layout below stays as the general fallback.
+        from .schur_planes_sharded import make_sharded_plane_schur_step
+
+        return make_sharded_plane_schur_step(
+            cp, ctx, mesh, axis_name,
+            damping_min=damping_min, damping_max=damping_max)
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis_name]))
 
     shard_leaves = []

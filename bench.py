@@ -3,17 +3,23 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The four required keys carry the headline workload (sphere2500-class SE3
 pose graph); "extra" carries the rest of the ladder (SE2 M3500-scale,
-trafalgar-257 and dubrovnik-356 bundle adjustment to reference-final
-RMSE, 50k-pose banded solve), each with its BASELINE.md ratio.
+trafalgar-257 / dubrovnik-356 / ladybug-1723 / venice-1778 bundle
+adjustment, 50k-pose banded solve), each with its BASELINE.md ratio plus
+honesty fields: ``iters`` (LM iterations of the measured solve),
+``s_per_iter`` (value/iters), and a ``note`` wherever the comparison
+needs a caveat (the 1-iteration BA rows, the capability rungs).
 Per-metric human-readable lines go to stderr.
 
 Baselines (BASELINE.md, reference on an M4 Mac Mini): sphere2500
-176.3 ms | M3500 103.5 ms | trafalgar 10.39 s | dubrovnik 47.16 s.
-Venice-scale results live in benches/tpu_venice.py + doc/performance.md
-(12.2 s to converged quality vs 83.17 s reference = 6.8x; too heavy for
-the per-round bench budget).
+176.3 ms | M3500 103.5 ms | trafalgar 10.39 s | dubrovnik 47.16 s |
+ladybug 146.69 s | venice 83.17 s.
 Datasets are scale/sparsity-matched synthetics (no network egress for the
 real files; the real files load through the same apex_tpu.io paths).
+
+The venice/ladybug rungs are heavy (minutes of compile + solve); they
+run last and are skipped with a stderr note if the bench has already
+used its wall-clock budget (APEX_BENCH_DEADLINE seconds, default 2100)
+— e.g. when the TPU tunnel is degraded.
 
 vs_baseline = baseline / measured (>1 means faster than the reference).
 """
@@ -25,9 +31,28 @@ import os
 import sys
 import time
 
+BENCH_START = time.perf_counter()
+
 
 def _log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def _deadline_left():
+    budget = float(os.environ.get("APEX_BENCH_DEADLINE", "2100"))
+    return budget - (time.perf_counter() - BENCH_START)
+
+
+def _row(metric, value, unit, baseline, iters, note=None):
+    out = {"metric": metric, "value": round(value, 3 if unit == "s" else 2),
+           "unit": unit,
+           "vs_baseline": round(baseline / value, 3) if baseline else 0.0,
+           "iters": int(iters)}
+    secs = value if unit == "s" else value / 1e3
+    out["s_per_iter"] = round(secs / max(iters, 1), 4)
+    if note:
+        out["note"] = note
+    return out
 
 
 def _solve_pose_graph(graph, dtype, runs, solver="sparse_cholesky",
@@ -37,7 +62,7 @@ def _solve_pose_graph(graph, dtype, runs, solver="sparse_cholesky",
     problem = graph.to_problem()
     cfg = apx.LevenbergMarquardtConfig(
         mode="jit", max_iterations=100, cost_tolerance=1e-4,
-        linear_solver_type=solver,
+        linear_solver_type=solver, damping="auto",
     )
     lm = apx.LevenbergMarquardt(cfg)
     cp = problem.compile(dtype=dtype)
@@ -65,8 +90,8 @@ def bench_sphere2500(dtype, runs):
         g, dtype, runs,
         solver=os.environ.get("APEX_BENCH_SOLVER", "sparse_cholesky"))
     _log(f"# sphere2500: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
-    return {"metric": "sphere2500_synthetic_lm_solve", "value": round(ms, 2),
-            "unit": "ms", "vs_baseline": round(176.3 / ms, 3)}
+    return _row("sphere2500_synthetic_lm_solve", ms, "ms", 176.3,
+                res.iterations)
 
 
 def bench_m3500(dtype, runs):
@@ -78,8 +103,8 @@ def bench_m3500(dtype, runs):
         n_poses=3500, trajectory="manhattan", loop_stride=2, seed=0)
     ms, warm, res = _solve_pose_graph(g, dtype, runs, min_reduction=0.95)
     _log(f"# m3500: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
-    return {"metric": "m3500_synthetic_se2_lm_solve", "value": round(ms, 2),
-            "unit": "ms", "vs_baseline": round(103.5 / ms, 3)}
+    return _row("m3500_synthetic_se2_lm_solve", ms, "ms", 103.5,
+                res.iterations)
 
 
 def bench_50k(dtype):
@@ -94,8 +119,10 @@ def bench_50k(dtype):
     ms, warm, res = _solve_pose_graph(g, dtype, 1, min_reduction=0.97)
     _log(f"# 50k-pose ({n_edges} edges): {res.summary()} | warmup {warm:.1f}s "
          f"best {ms:.1f}ms | capability rung, no reference measurement")
-    return {"metric": "pose50k_synthetic_lm_solve", "value": round(ms, 2),
-            "unit": "ms", "vs_baseline": 0.0}
+    return _row("pose50k_synthetic_lm_solve", ms, "ms", None, res.iterations,
+                note="capability rung: no reference configuration exists at "
+                     "this scale (dense H would be 360 GB); vs_baseline 0.0 "
+                     "by convention")
 
 
 def bench_ba_trafalgar(dtype, runs):
@@ -130,9 +157,13 @@ def bench_ba_trafalgar(dtype, runs):
          f"warmup {warm_s:.1f}s best {best:.2f}s")
     if not (r1 < 0.55 * r0):
         raise RuntimeError(f"BA did not reduce RMSE enough: {r0:.3f}->{r1:.3f}")
-    return {"metric": "trafalgar257_synthetic_ba_solve",
-            "value": round(best, 3), "unit": "s",
-            "vs_baseline": round(10.39 / best, 3)}
+    return _row("trafalgar257_synthetic_ba_solve", best, "s", 10.39,
+                result.iterations,
+                note="stops at the reference's final RMSE (0.679 px); the "
+                     "synthetic's clean conditioning reaches it in "
+                     f"{result.iterations} LM iteration(s) where the real "
+                     "dataset took the reference 14 — s_per_iter is the "
+                     "apples-to-apples number")
 
 
 def bench_ba_dubrovnik(dtype, runs):
@@ -166,9 +197,91 @@ def bench_ba_dubrovnik(dtype, runs):
          f"| best {best:.2f}s")
     if not (r1 < 0.60):
         raise RuntimeError(f"BA did not reach target RMSE: {r0:.3f}->{r1:.3f}")
-    return {"metric": "dubrovnik356_synthetic_ba_solve",
-            "value": round(best, 3), "unit": "s",
-            "vs_baseline": round(47.16 / best, 3)}
+    return _row("dubrovnik356_synthetic_ba_solve", best, "s", 47.16,
+                result.iterations,
+                note="stops at the reference's final RMSE (0.533 px; pixel "
+                     "noise 0.6 so that quality is reachable); reached in "
+                     f"{result.iterations} LM iteration(s) vs the "
+                     "reference's 9 on the real data — s_per_iter is the "
+                     "apples-to-apples number")
+
+
+def bench_ba_ladybug(dtype):
+    """ladybug-1723-scale self-calibration (1,723 cams / 156k pts / ~679k
+    obs). Baseline 146.69 s / 30 iters (4.89 s/LM-iter). The synthetic's
+    noise floor (RMSE ~0.65) sits above the reference's real-data final
+    (0.537), so wall-clock-to-same-RMSE is not measurable; the honest
+    comparison is s/LM-iter at full scale, measured over a fixed
+    4-iteration warm solve."""
+    import apex_tpu as apx
+    from apex_tpu.ba import build_ba_problem, rmse
+    from apex_tpu.io import synthetic
+
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=1723, n_points=156_502, obs_per_camera=394, seed=0)
+    cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
+    cfg = apx.LevenbergMarquardtConfig(
+        linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
+        max_iterations=4, mode="jit")
+    lm = apx.LevenbergMarquardt(cfg)
+    t0 = time.perf_counter()
+    result = lm.optimize(cp)
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = lm.optimize(cp)
+    best = time.perf_counter() - t0
+    r0 = rmse(result.initial_cost, ds.num_observations)
+    r1 = rmse(result.final_cost, ds.num_observations)
+    _log(f"# ladybug-1723 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
+         f"| warmup {warm_s:.1f}s warm {best:.2f}s "
+         f"({best / max(result.iterations, 1):.2f} s/LM-iter vs reference "
+         f"4.89 s/LM-iter)")
+    spi = best / max(result.iterations, 1)
+    return _row("ladybug1723_synthetic_ba_per_iter", spi, "s",
+                146.69 / 30, 1,
+                note="s/LM-iter at full ladybug-1723 scale over a warm "
+                     "4-iteration solve; reference = 146.69 s / 30 iters = "
+                     "4.89 s/iter. Full-convergence run: doc/performance.md "
+                     "(82.5 s to this synthetic's cost tolerance)")
+
+
+def bench_ba_venice(dtype):
+    """Venice-scale BA — the BASELINE.json north star (>=5x the reference's
+    83.17 s on one chip). Runs the 4-iteration converged-quality solve
+    from doc/performance.md (RMSE reaches the synthetic's ~0.68 px noise
+    floor; later iterations buy <0.5% cost at growing PCG price)."""
+    import apex_tpu as apx
+    from apex_tpu.ba import build_ba_problem, rmse
+    from apex_tpu.io import synthetic
+
+    t0 = time.perf_counter()
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=1778, n_points=993_923, obs_per_camera=2813, seed=0)
+    cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
+    _log(f"# venice: generated+built 5.0M-obs problem in "
+         f"{time.perf_counter() - t0:.0f}s")
+    cfg = apx.LevenbergMarquardtConfig(
+        linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
+        max_iterations=4, mode="jit")
+    lm = apx.LevenbergMarquardt(cfg)
+    t0 = time.perf_counter()
+    result = lm.optimize(cp)
+    warm_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    result = lm.optimize(cp)
+    best = time.perf_counter() - t0
+    r0 = rmse(result.initial_cost, ds.num_observations)
+    r1 = rmse(result.final_cost, ds.num_observations)
+    _log(f"# venice-1778 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
+         f"| cold {warm_s:.0f}s warm {best:.1f}s vs reference 83.17 s")
+    if not (r1 < 0.75):
+        raise RuntimeError(f"venice did not reach noise floor: {r1:.3f}")
+    return _row("venice1778_synthetic_ba_solve", best, "s", 83.17,
+                result.iterations,
+                note="4-iteration converged-quality solve (RMSE at the "
+                     "synthetic's noise floor; reference solved the real "
+                     "venice in 2 iterations/83.17 s). Deeper runs cost "
+                     "more: see doc/performance.md venice table")
 
 
 def main():
@@ -184,16 +297,25 @@ def main():
     runs = int(os.environ.get("APEX_BENCH_RUNS", "3"))
     only = os.environ.get("APEX_BENCH_ONLY")  # comma-separated subset
 
+    # (name, fn, estimated seconds on healthy hardware — heavy rungs are
+    # skipped when the remaining APEX_BENCH_DEADLINE budget is below the
+    # estimate, so a degraded TPU tunnel can't hang the whole bench)
     ladder = [
-        ("sphere2500", lambda: bench_sphere2500(dtype, runs)),
-        ("m3500", lambda: bench_m3500(dtype, runs)),
-        ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2))),
-        ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2))),
-        ("pose50k", lambda: bench_50k(dtype)),
+        ("sphere2500", lambda: bench_sphere2500(dtype, runs), 60),
+        ("m3500", lambda: bench_m3500(dtype, runs), 30),
+        ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2)), 150),
+        ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2)), 200),
+        ("pose50k", lambda: bench_50k(dtype), 330),
+        ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
+        ("venice", lambda: bench_ba_venice(dtype), 700),
     ]
     results = []
-    for name, fn in ladder:
+    for name, fn, est in ladder:
         if only and name not in only.split(","):
+            continue
+        if not only and _deadline_left() < est:
+            _log(f"# {name} SKIPPED: {_deadline_left():.0f}s of bench budget "
+                 f"left < {est}s estimate (APEX_BENCH_DEADLINE)")
             continue
         try:
             t0 = time.perf_counter()

@@ -179,3 +179,43 @@ def test_jit_mode_timeout():
     res = apx.LevenbergMarquardt(cfg).optimize(cp)
     assert res.status == Status.TIMEOUT
     assert res.iterations < 10_000
+
+
+def test_auto_initial_damping_matches_and_saves_iterations():
+    """damping="auto" (Madsen-Nielsen lambda_0 = tau * max diag(J^T J))
+    reaches the same final cost as the fixed Ceres default in no more
+    iterations on a well-initialized graph; both execution modes agree."""
+    import apex_tpu as apx
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_2d(
+        n_poses=300, trajectory="manhattan", loop_stride=2, seed=0)
+    cp = g.to_problem().compile()
+
+    r_fixed = apx.LevenbergMarquardt(apx.LevenbergMarquardtConfig(
+        max_iterations=60, cost_tolerance=1e-4)).optimize(cp)
+    r_auto = apx.LevenbergMarquardt(apx.LevenbergMarquardtConfig(
+        max_iterations=60, cost_tolerance=1e-4, damping="auto")).optimize(cp)
+    r_auto_jit = apx.LevenbergMarquardt(apx.LevenbergMarquardtConfig(
+        max_iterations=60, cost_tolerance=1e-4, damping="auto",
+        mode="jit")).optimize(cp)
+
+    assert r_auto.converged and r_auto_jit.converged
+    assert r_auto.iterations <= r_fixed.iterations
+    np.testing.assert_allclose(r_auto.final_cost, r_fixed.final_cost, rtol=1e-3)
+    np.testing.assert_allclose(r_auto_jit.final_cost, r_auto.final_cost,
+                               rtol=1e-8)
+
+
+def test_normal_diag_max_matches_dense():
+    import jax.numpy as jnp
+
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=20, rings=3, seed=1)
+    cp = g.to_problem().compile()
+    values = cp.initial_values()
+    H, _, _ = cp.assemble_normal(values)
+    np.testing.assert_allclose(
+        float(cp.normal_diag_max(values)),
+        float(jnp.max(jnp.diag(H))), rtol=1e-12)

@@ -1,0 +1,175 @@
+"""Landmark-partitioned sharded plane pipeline (parallel/schur_planes_sharded).
+
+Round-3 scale-real criteria (VERDICT r2 item 1):
+- the sharded BA step runs the PLANE pipeline (no replicated [P,3,3]
+  blocks, no tile-padded [K,ds,3] coupling buffers);
+- landmark state/planes partition across chips (per-chip ~1/nd);
+- 8-device solve matches the single-chip plane solve to 1e-8 in f64.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import apex_tpu  # noqa: F401  (x64 config)
+from apex_tpu.ba import build_ba_problem
+from apex_tpu.io import synthetic
+from apex_tpu.linalg.schur import SchurContext
+from apex_tpu.parallel import make_sharded_schur_step
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+@pytest.fixture(scope="module")
+def ba_cp():
+    ds = synthetic.synthetic_ba(n_cameras=7, n_points=110, seed=4)
+    return build_ba_problem(ds, mode="self_calibration").compile(
+        dtype=np.float64)
+
+
+def test_plane_path_engaged_and_partitioned(ba_cp, mesh):
+    step, shard_args = make_sharded_schur_step(ba_cp, mesh)
+    assert hasattr(step, "solve"), "uniform layout must take the plane path"
+    # every landmark group's per-chip landmark count is ceil(n/8); the
+    # sharded observation leaves carry k_loc*8 rows split over the mesh
+    lm_metas = [m for m in step.metas if m.cap]
+    assert lm_metas, "BA problem must have landmark groups"
+    for m in lm_metas:
+        assert m.n_loc == -(-m.n // 8)
+        assert m.k_loc == m.n_loc * m.cap
+    # no leaf anywhere is [P, 3, 3]-shaped landmark state (the round-2
+    # layout this replaces); coupling blocks exist only as planes
+    P_total = sum(m.n for m in lm_metas)
+    for group_leaf in shard_args:
+        for arr in jax.tree.leaves(group_leaf):
+            assert arr.shape[1:] not in ((3, 3),) or arr.shape[0] != P_total
+
+
+def test_sharded_plane_solve_matches_single_chip_1e8(ba_cp, mesh):
+    """f64 parity at 1e-8 between the 8-device landmark-partitioned solve
+    and the single-chip plane solve (same pipeline, two meshes)."""
+    step, _ = make_sharded_schur_step(ba_cp, mesh)
+    values = ba_cp.initial_values()
+    damping = jnp.asarray(1e-3, ba_cp.dtype)
+    dx, g, cost, pred = step.solve(values, damping)
+
+    ctx = SchurContext(ba_cp, variant="iterative")
+    assert ctx.uniform is not None
+    dx1, g1, cost1, pred1 = ctx.solve(values, 1e-3)
+
+    np.testing.assert_allclose(float(cost), float(cost1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g1),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx1),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(float(pred), float(pred1), rtol=1e-8)
+
+
+def test_sharded_plane_lm_iterations_converge(ba_cp, mesh):
+    # NB: step is called eagerly — it jits internally with the sharded
+    # observation data as explicit arguments (closure capture under an
+    # outer jit would replicate the shards as constants).
+    step, _ = make_sharded_schur_step(ba_cp, mesh)
+    values = ba_cp.initial_values()
+    damping = jnp.asarray(1e-3, ba_cp.dtype)
+    nu = jnp.asarray(2.0, ba_cp.dtype)
+    c0 = ba_cp.cost(values)
+    state = (values, damping, nu, c0)
+    for _ in range(6):
+        state = step(*state)
+    assert float(state[3]) < 0.3 * float(c0)
+
+
+def test_sharded_plane_with_pose_prior(mesh):
+    """Camera-only groups (pose priors) shard along the factor axis and
+    keep plane parity — exercises the camera-only ent_ids fix."""
+    from apex_tpu.factors import ManifoldPriorFactor
+
+    ds = synthetic.synthetic_ba(n_cameras=5, n_points=60, seed=2)
+    problem = build_ba_problem(ds, mode="self_calibration")
+    problem.add_residual_block(
+        ["pose_0001"], ManifoldPriorFactor("SE3", ds.camera_se3()[1]))
+    cp = problem.compile(dtype=np.float64)
+
+    step, _ = make_sharded_schur_step(cp, mesh)
+    assert hasattr(step, "solve")
+    values = cp.initial_values()
+    dx, g, cost, pred = step.solve(values, jnp.asarray(1e-3, cp.dtype))
+
+    ctx = SchurContext(cp, variant="iterative")
+    assert ctx.uniform is not None
+    dx1, _, cost1, _ = ctx.solve(values, 1e-3)
+    np.testing.assert_allclose(float(cost), float(cost1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx1),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_flat_layout_still_uses_block_fallback(mesh):
+    """Non-uniform layouts must keep working through the block sharded
+    path (general fallback). Partial visibility (synthetic_ba_large)
+    makes per-landmark observation runs unequal, so layout="flat" cannot
+    take the plane path (full-visibility synthetic_ba would: every run
+    has length n_cameras, which IS uniform)."""
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=6, n_points=300, obs_per_camera=100, seed=3)
+    cp = build_ba_problem(ds, layout="flat").compile(dtype=np.float64)
+    step, shard_args = make_sharded_schur_step(cp, mesh)
+    assert not hasattr(step, "solve")  # block path has no .solve attribute
+
+    @jax.jit
+    def one(values):
+        damping = jnp.asarray(1e-3, cp.dtype)
+        nu = jnp.asarray(2.0, cp.dtype)
+        cost0 = cp.cost(values)
+        return cost0, step(values, damping, nu, cost0)[3]
+
+    c0, c1 = one(cp.initial_values())
+    assert float(c1) < float(c0)
+
+
+@pytest.mark.slow
+def test_per_chip_memory_partitions(mesh):
+    """Compile (not run) a larger BA solve and inspect the partitioned
+    HLO: every observation/landmark-sized buffer in the per-device module
+    must be LOCAL-sized (1/8); the only global-sized landmark object
+    allowed is the [6, P] all-gather plane at the very end of the solve.
+    (XLA's memory_analysis() on the CPU backend reports global argument
+    bytes for both variants, so the buffer shapes are the usable
+    evidence.)"""
+    import re
+
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=24, n_points=12_000, obs_per_camera=2500, seed=0)
+    cp = build_ba_problem(ds, mode="self_calibration").compile(
+        dtype=np.float32)
+    values = cp.initial_values()
+    damping = jnp.asarray(1e-3, cp.dtype)
+
+    step, shard_args = make_sharded_schur_step(cp, mesh)
+    assert hasattr(step, "solve")
+    txt = step._solve_jit.lower(values, damping, *shard_args).compile().as_text()
+
+    P_total = sum(m.n for m in step.metas if m.cap)
+    # round-2 layout must be gone: no [P, 3, 3] landmark blocks at all
+    assert not re.findall(rf"f32\[{P_total},3,3\]", txt)
+    # the largest tensor in the per-device module must be observation-
+    # plane-LOCAL (k_loc-major), not global: with K_pad = 8 * k_loc this
+    # is an 8x per-chip cut on every observation-sized buffer.
+    k_pad_max = 8 * max(m.k_loc for m in step.metas)
+    shapes = re.findall(r"f32\[([0-9,]+)\]", txt)
+    biggest = max(
+        (int(np.prod([int(x) for x in s.split(",")])) for s in shapes),
+        default=0,
+    )
+    k_loc_max = max(m.k_loc for m in step.metas)
+    # largest legitimate buffers: [k_loc, De*De] stacked linearization
+    # planes (De=9 for self-calibration) or the [6, Pbuf] final
+    # all-gather; anything >= K_pad-sized is a replicated global leak.
+    assert biggest <= k_loc_max * 81, (biggest, k_loc_max)
+    assert not re.findall(rf"f32\[{k_pad_max},[0-9,]+\]", txt), (
+        "global observation-sized buffer leaked into the per-device module")
