@@ -757,10 +757,19 @@ class SchurContext:
             return _vdot(a.astype(jnp.float64), b.astype(jnp.float64))
         return _vdot(a, b)
 
-    def _pcg(self, apply_S, apply_M, b, rtol=None, max_iter=None):
+    def _pcg(self, apply_S, apply_M, b, rtol=None, max_iter=None, x0=None):
         """Block-preconditioned conjugate gradients (implicit_schur.rs:
         577-679). Recurrence dot products accumulate in f64; ``rtol`` may be
-        a traced scalar (forcing sequence)."""
+        a traced scalar (forcing sequence).
+
+        ``x0`` warm-starts from the previous LM iteration's camera step:
+        late in a solve, consecutive reduced systems differ only by small
+        damping/linearization changes, so the old solution's residual is
+        far below ||b|| and PCG needs a fraction of the iterations (the
+        round-2 venice late-phase cliff was ~200 PCG iterations per LM
+        step from a zero start). Guarded: if S x0 - b is not actually
+        smaller than b (big damping jump, rejected step), fall back to the
+        zero start — one extra S·x product per solve, only when x0 given."""
         if rtol is None:
             rtol = self.pcg_rtol_floor
         if max_iter is None:
@@ -786,9 +795,16 @@ class SchurContext:
             p = z + beta * p
             return (x, r, z, p, rz_new, it + 1)
 
-        x0 = jnp.zeros_like(b)
-        z0 = apply_M(b)
-        state = (x0, b, z0, z0, dot(b, z0), jnp.asarray(0, jnp.int32))
+        if x0 is None:
+            xs = jnp.zeros_like(b)
+            rs = b
+        else:
+            r_warm = b - apply_S(x0)
+            use_warm = dot(r_warm, r_warm) < bb
+            xs = jnp.where(use_warm, x0, jnp.zeros_like(b))
+            rs = jnp.where(use_warm, r_warm, b)
+        z0 = apply_M(rs)
+        state = (xs, rs, z0, z0, dot(rs, z0), jnp.asarray(0, jnp.int32))
         x, r, *_ = jax.lax.while_loop(cond, body, state)
         return x
 
@@ -838,9 +854,20 @@ class SchurContext:
 
     # ------------------------------------------------------------------
 
-    def solve(self, values, damping, iteration=None):
+    def _x0_reduced(self, dx_prev):
+        """Previous global step -> reduced camera vector for PCG warm
+        start (None passthrough)."""
+        if dx_prev is None:
+            return None
+        kept = np.nonzero(self.red_of_global >= 0)[0]
+        x0 = jnp.zeros((self.Dc,), dtype=dx_prev.dtype)
+        return x0.at[jnp.asarray(self.red_of_global[kept].astype(np.int32))
+                     ].set(dx_prev[jnp.asarray(kept.astype(np.int32))])
+
+    def solve(self, values, damping, iteration=None, dx_prev=None):
         """One damped Schur solve: returns (dx_global [D], g_global [D],
-        cost, predicted_reduction).
+        cost, predicted_reduction). ``dx_prev`` (the previous LM
+        iteration's global step) warm-starts the PCG (see _pcg).
 
         ``predicted_reduction`` is the EXACT Gauss-Newton model reduction
         -g.dx - 0.5 dx^T H dx evaluated with the actual (possibly inexact)
@@ -851,7 +878,8 @@ class SchurContext:
         cp = self.cp
         dt = cp.dtype
         if self.uniform is not None and self.variant == "iterative":
-            return self.uniform.solve(values, damping, iteration=iteration)
+            return self.uniform.solve(values, damping, iteration=iteration,
+                                      dx_prev=dx_prev)
         Hcc, gc, Hpp, gp, Ws, cost = self.assemble(values, damping)
         Hpp_inv = landmark_inverse(Hpp)
 
@@ -899,7 +927,8 @@ class SchurContext:
                 # solve stays a single jitted while_loop).
                 k = jnp.asarray(iteration, dt)
                 rtol = jnp.clip(0.1 * jnp.exp2(-k), self.pcg_rtol_floor, 0.1)
-            dxc = self._pcg(apply_S, apply_M, b, rtol=rtol)
+            dxc = self._pcg(apply_S, apply_M, b, rtol=rtol,
+                            x0=self._x0_reduced(dx_prev))
 
         # back-substitution: dxp = Hpp^-1 (-gp - W^T dxc)
         t = self._wt_x(Ws, dxc)

@@ -468,7 +468,7 @@ class UniformSchur:
 
     # -- full solve --------------------------------------------------------
 
-    def solve(self, values, damping, iteration=None):
+    def solve(self, values, damping, iteration=None, dx_prev=None):
         """Plane-form twin of SchurContext.solve (iterative variant)."""
         ctx = self.ctx
         cp = ctx.cp
@@ -496,7 +496,8 @@ class UniformSchur:
         if ctx.pcg_forcing and iteration is not None:
             k = jnp.asarray(iteration, dt)
             rtol = jnp.clip(0.1 * jnp.exp2(-k), ctx.pcg_rtol_floor, 0.1)
-        dxc = ctx._pcg(apply_S, apply_M, b, rtol=rtol)
+        dxc = ctx._pcg(apply_S, apply_M, b, rtol=rtol,
+                       x0=ctx._x0_reduced(dx_prev))
 
         t = self.wt_x(Wps, dxc)
         dxp3 = sym6_matvec(hinv6, -gp3 - t)  # [3, P]

@@ -74,6 +74,13 @@ class LevenbergMarquardtConfig:
     # iterations, tightening geometrically to pcg_tolerance (floored by the
     # f32 stagnation limit). Cuts wasted PCG iterations dramatically.
     pcg_forcing: bool = True
+    # Warm-start each PCG from the previous LM iteration's camera step
+    # (guarded: falls back to the zero start when the old step's residual
+    # is not actually smaller). Attacks the late-phase cost where the
+    # forcing sequence has tightened to the floor and consecutive reduced
+    # systems barely change. The previous step rides in the (otherwise
+    # unused on Schur paths) jacobi_scale state slot.
+    pcg_warm_start: bool = True
     # Decoupled landmark-block shift floor (None = dtype default: 1e-4 in
     # f32, 0 in f64) — see SchurContext.pp_shift_floor.
     schur_pp_shift_floor: Optional[float] = None
@@ -163,7 +170,19 @@ class LevenbergMarquardt:
                 pp_shift_floor=cfg.schur_pp_shift_floor,
             )
 
+            warm = (cfg.pcg_warm_start and variant == "iterative"
+                    and not cfg.use_jacobi_scaling)
+
             def solve_schur(values, damping, iteration, jacobi_scale):
+                if warm:
+                    # the state slot holds the previous global step; the
+                    # loop initializes it to ones, so zero it at iter 0
+                    prev = jnp.where(iteration == 0,
+                                     jnp.zeros_like(jacobi_scale),
+                                     jacobi_scale)
+                    dx, g, cost, predicted = ctx.solve(
+                        values, damping, iteration=iteration, dx_prev=prev)
+                    return dx, g, cost, dx, predicted
                 dx, g, cost, predicted = ctx.solve(values, damping,
                                                    iteration=iteration)
                 return dx, g, cost, jacobi_scale, predicted

@@ -222,7 +222,7 @@ def bench_ba_ladybug(dtype):
     cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
     cfg = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
-        max_iterations=4, mode="jit")
+        max_iterations=4, mode="jit", pcg_max_iterations=50)
     lm = apx.LevenbergMarquardt(cfg)
     t0 = time.perf_counter()
     result = lm.optimize(cp)
@@ -262,7 +262,7 @@ def bench_ba_venice(dtype):
          f"{time.perf_counter() - t0:.0f}s")
     cfg = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
-        max_iterations=4, mode="jit")
+        max_iterations=4, mode="jit", pcg_max_iterations=50)
     lm = apx.LevenbergMarquardt(cfg)
     t0 = time.perf_counter()
     result = lm.optimize(cp)
