@@ -150,6 +150,70 @@ def _synthetic_pose_graph_3d_impl(
     return g
 
 
+def _synthetic_pose_graph_grid3d_impl(
+    nx: int = 10,
+    ny: int = 10,
+    nz: int = 10,
+    spacing: float = 1.0,
+    noise_t: float = 0.05,
+    noise_r: float = 0.01,
+    info_weight: float = 100.0,
+    seed: int = 0,
+) -> Graph:
+    """SE3 pose graph on a 3D lattice — the shape of the reference
+    registry's grid3D dataset (crates/apex-io/src/utils.rs:45-300): one
+    vertex per lattice point, relative-pose edges to the +x/+y/+z
+    neighbors. This is the HIGH-TREEWIDTH topology class: no 1-D ordering
+    makes it banded (RCM bandwidth ~ nx*ny blocks), so it exercises the
+    general-sparsity direct tier (linalg/sparse_general.py).
+    Initialization perturbs ground truth (there is no single odometry
+    chain to integrate)."""
+    from ..manifolds import SE3, so3
+
+    rng = np.random.default_rng(seed)
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                             indexing="ij")
+    p = spacing * np.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(float)
+    n = p.shape[0]
+    yaw = rng.uniform(-0.3, 0.3, n)
+    q = np.asarray(so3.exp(jnp.stack(
+        [jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], axis=1)))
+    truth = np.concatenate([p, q], axis=1)
+
+    def vid(a, b, c):
+        return (a * ny + b) * nz + c
+
+    src, dst = [], []
+    for a in range(nx):
+        for b in range(ny):
+            for c in range(nz):
+                v = vid(a, b, c)
+                if a + 1 < nx:
+                    src.append(v); dst.append(vid(a + 1, b, c))
+                if b + 1 < ny:
+                    src.append(v); dst.append(vid(a, b + 1, c))
+                if c + 1 < nz:
+                    src.append(v); dst.append(vid(a, b, c + 1))
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    rels = np.asarray(SE3.between(jnp.asarray(truth[src]), jnp.asarray(truth[dst])))
+    tau = np.concatenate(
+        [rng.normal(0, noise_t, (len(src), 3)),
+         rng.normal(0, noise_r, (len(src), 3))], axis=1)
+    meas = np.asarray(SE3.plus(jnp.asarray(rels), jnp.asarray(tau)))
+
+    info = np.diag([info_weight] * 6)
+    g = Graph()
+    g.edges_se3 = [Edge(int(src[i]), int(dst[i]), meas[i], info)
+                   for i in range(len(src))]
+    pert = np.concatenate(
+        [rng.normal(0, 0.1, (n, 3)), rng.normal(0, 0.02, (n, 3))], axis=1)
+    est = np.array(SE3.plus(jnp.asarray(truth), jnp.asarray(pert)))
+    est[0] = truth[0]
+    g.vertices_se3 = {i: est[i] for i in range(n)}
+    return g
+
+
 def _synthetic_ba_impl(
     n_cameras: int = 49,
     n_points: int = 1000,
@@ -300,6 +364,11 @@ def synthetic_pose_graph_3d(*args, **kw):
         return _synthetic_pose_graph_3d_impl(*args, **kw)
 
 
+def synthetic_pose_graph_grid3d(*args, **kw):
+    with _cpu():
+        return _synthetic_pose_graph_grid3d_impl(*args, **kw)
+
+
 def synthetic_ba(*args, **kw):
     with _cpu():
         return _synthetic_ba_impl(*args, **kw)
@@ -312,4 +381,5 @@ def synthetic_ba_large(*args, **kw):
 
 synthetic_pose_graph_2d.__doc__ = _synthetic_pose_graph_2d_impl.__doc__
 synthetic_pose_graph_3d.__doc__ = _synthetic_pose_graph_3d_impl.__doc__
+synthetic_pose_graph_grid3d.__doc__ = _synthetic_pose_graph_grid3d_impl.__doc__
 synthetic_ba.__doc__ = _synthetic_ba_impl.__doc__

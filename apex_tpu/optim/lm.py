@@ -225,8 +225,33 @@ class LevenbergMarquardt:
 
             return solve_qr_fn
 
-        if solver_type == "banded_cholesky":
+        if solver_type in ("banded_cholesky", "sparse_general"):
             from ..linalg import banded
+
+            # General-sparsity tier (reference: faer fill-reducing LLT
+            # handles ANY pattern, sparse/cholesky.rs:103-157): when even
+            # the post-RCM bandwidth is panel-hostile (grid3D/city10000
+            # topologies), switch to independent-set block elimination
+            # (linalg/sparse_general.py) instead of cliffing to a huge
+            # banded panel or dense Cholesky.
+            use_general = solver_type == "sparse_general"
+            if not use_general and cfg.banded_panel is None:
+                from ..linalg.sparse_general import GeneralSparseCholesky
+
+                W = banded.block_bandwidth(cp)
+                use_general = (W > 1536 and GeneralSparseCholesky.suitable(cp))
+            if use_general:
+                from ..linalg.sparse_general import GeneralSparseCholesky
+
+                gs = GeneralSparseCholesky(cp)
+                if gs.healthy() or solver_type == "sparse_general":
+
+                    def solve_general(values, damping, iteration, jacobi_scale):
+                        dx, g, cost = gs.solve(values, damping)
+                        return dx, g, cost, jacobi_scale, None
+
+                    solve_general.general_sparse = gs
+                    return solve_general
 
             asm = banded.BandedNormalAssembler(cp, block=cfg.banded_panel)
             core = banded.make_blocktri_cr_core(cp.total_dof, asm.m, cp.dtype)

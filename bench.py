@@ -206,6 +206,32 @@ def bench_ba_dubrovnik(dtype, runs):
                      "apples-to-apples number")
 
 
+def bench_grid3d(dtype):
+    """Capability rung: grid3D-topology SE3 graph (the reference
+    registry's high-treewidth shape — 12^3 = 1,728 vertices, ~4.8k
+    edges), solved by the general-sparsity independent-set elimination
+    tier. Reported against an equal-vertex-count trajectory graph solved
+    by the banded tier: the round-2 gap was an order-of-magnitude cliff
+    to dense/PCG; the bar is staying within a few x."""
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_grid3d(nx=12, ny=12, nz=12, seed=0)
+    ms, warm, res = _solve_pose_graph(g, dtype, 2, solver="sparse_general",
+                                      min_reduction=0.5)
+    gt = synthetic.synthetic_pose_graph_3d(n_poses=1728, rings=24, seed=0)
+    ms_t, warm_t, res_t = _solve_pose_graph(gt, dtype, 2, min_reduction=0.95)
+    ratio = (ms / max(res.iterations, 1)) / (ms_t / max(res_t.iterations, 1))
+    _log(f"# grid3d-1728: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms"
+         f" | {ratio:.2f}x the per-iteration cost of an equal-size "
+         f"trajectory graph ({ms_t:.1f}ms/{res_t.iterations} iters)")
+    return _row("grid3d1728_general_sparse_lm_solve", ms, "ms", None,
+                res.iterations,
+                note=f"capability rung (no reference timing for grid3D): "
+                     f"general-sparsity tier runs at {ratio:.2f}x the "
+                     f"per-LM-iteration cost of an equal-size banded "
+                     f"trajectory graph")
+
+
 def bench_ba_ladybug(dtype):
     """ladybug-1723-scale self-calibration (1,723 cams / 156k pts / ~679k
     obs). Baseline 146.69 s / 30 iters (4.89 s/LM-iter). The synthetic's
@@ -306,6 +332,7 @@ def main():
         ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2)), 150),
         ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2)), 200),
         ("pose50k", lambda: bench_50k(dtype), 330),
+        ("grid3d", lambda: bench_grid3d(dtype), 180),
         ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
         ("venice", lambda: bench_ba_venice(dtype), 700),
     ]
