@@ -126,13 +126,15 @@ def invert_landmark_blocks(Hpp):
 
 def landmark_inverse(Hpp):
     """Dispatch: the Pallas lane-planes kernel on TPU for large batches,
-    the XLA formulation otherwise (identical semantics). Opt-in via
-    APEX_TPU_PALLAS=1 while the kernel is being qualified on real
-    hardware (the remote TPU runtime crashed under it at 156k-block scale;
-    interpret-mode correctness is fully tested)."""
+    the XLA formulation otherwise (identical semantics). Qualified on
+    hardware in round 3: bit-identical output and 1.29x the XLA
+    formulation at 1M f32 blocks (doc/performance.md "Pallas
+    qualification"), so it is the DEFAULT on TPU; APEX_TPU_PALLAS=0 opts
+    out. (Round 2's crash at 156k blocks was the degraded axon runtime,
+    not the kernel.)"""
     import os
 
-    if (os.environ.get("APEX_TPU_PALLAS", "0") == "1"
+    if (os.environ.get("APEX_TPU_PALLAS", "1") != "0"
             and jax.default_backend() == "tpu" and Hpp.shape[0] >= 4096
             and Hpp.dtype == jnp.float32):
         from ..kernels import invert_landmark_blocks_pallas
