@@ -928,7 +928,9 @@ class SchurContext:
                 # (Eisenstat-Walker in spirit; deterministic so the whole
                 # solve stays a single jitted while_loop).
                 k = jnp.asarray(iteration, dt)
-                rtol = jnp.clip(0.1 * jnp.exp2(-k), self.pcg_rtol_floor, 0.1)
+                rtol = jnp.where(
+                    k < 0, jnp.asarray(self.pcg_rtol_floor, dt),
+                    jnp.clip(0.1 * jnp.exp2(-k), self.pcg_rtol_floor, 0.1))
             dxc = self._pcg(apply_S, apply_M, b, rtol=rtol,
                             x0=self._x0_reduced(dx_prev))
 

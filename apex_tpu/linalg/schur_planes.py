@@ -494,8 +494,12 @@ class UniformSchur:
 
         rtol = ctx.pcg_rtol_floor
         if ctx.pcg_forcing and iteration is not None:
+            # negative iteration = sentinel for "no forcing" from callers
+            # that must pass a traced value (the sharded step)
             k = jnp.asarray(iteration, dt)
-            rtol = jnp.clip(0.1 * jnp.exp2(-k), ctx.pcg_rtol_floor, 0.1)
+            rtol = jnp.where(
+                k < 0, jnp.asarray(ctx.pcg_rtol_floor, dt),
+                jnp.clip(0.1 * jnp.exp2(-k), ctx.pcg_rtol_floor, 0.1))
         dxc = ctx._pcg(apply_S, apply_M, b, rtol=rtol,
                        x0=ctx._x0_reduced(dx_prev))
 

@@ -172,7 +172,7 @@ def make_sharded_plane_schur_step(
     shard_args = jax.device_put(
         shard_args, NamedSharding(mesh, P(axis_name)))
 
-    def local_solve(values, damping, *group_leaves):
+    def local_solve(values, damping, iteration, dx_prev, *group_leaves):
         groups_local = {}
         ugroups = []
         lm_metas = []
@@ -213,7 +213,11 @@ def make_sharded_plane_schur_step(
         sh = ShardedUniformSchur(ctx, ugroups, groups_local, lm_metas,
                                  axis_name, num_landmarks_local=llo,
                                  n_devices=nd)
-        return sh.solve(values, damping)
+        # dx_prev is always a [D] array (zeros before the first iteration);
+        # the PCG warm-start guard rejects a zero start automatically, so
+        # one trace covers cold and warm solves.
+        return sh.solve(values, damping, iteration=iteration,
+                        dx_prev=dx_prev)
 
     # The sharded observation data MUST travel as explicit jit arguments:
     # closure-captured arrays are baked into the executable as constants,
@@ -225,13 +229,18 @@ def make_sharded_plane_schur_step(
     _solve_jit = jax.jit(jax.shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(), P()) + tuple(P(axis_name) for _ in shard_args),
+        in_specs=(P(), P(), P(), P()) + tuple(P(axis_name) for _ in shard_args),
         out_specs=(P(), P(), P(), P()),
     ))
+    _zero_dx = jnp.zeros((cp.total_dof,), dtype=dt)
 
-    def solve_fn(values, damping):
+    def solve_fn(values, damping, iteration=-1, dx_prev=None):
         """(dx, g_full, cost, predicted) — exposed for parity tests."""
-        return _solve_jit(values, damping, *shard_args)
+        if dx_prev is None:
+            dx_prev = _zero_dx
+        return _solve_jit(values, damping,
+                          jnp.asarray(iteration, jnp.int32), dx_prev,
+                          *shard_args)
 
     @jax.jit
     def _accept(values, damping, nu, dx, cost, predicted):
@@ -253,9 +262,17 @@ def make_sharded_plane_schur_step(
         out_cost = jnp.where(accepted, new_cost, cost)
         return out_values, new_damping, new_nu, out_cost
 
-    def step(values, damping, nu, current_cost):
+    def step(values, damping, nu, current_cost, iteration=-1, dx_prev=None):
+        """One sharded LM iteration. Optional ``iteration`` (>= 0) drives
+        the PCG forcing sequence (-1 = fixed tolerance); ``dx_prev`` (the
+        previous call's returned step, see ``step.last_dx``) warm-starts
+        the PCG."""
+        if dx_prev is None:
+            dx_prev = _zero_dx
         dx, g_full, cost, predicted = _solve_jit(
-            values, damping, *shard_args)
+            values, damping, jnp.asarray(iteration, jnp.int32), dx_prev,
+            *shard_args)
+        step.last_dx = dx
         return _accept(values, damping, nu, dx, cost, predicted)
 
     step.solve = solve_fn
