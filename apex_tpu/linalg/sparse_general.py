@@ -86,7 +86,7 @@ class BlockGraphSymbolic:
     """Host-side elimination plan for a block graph."""
 
     def __init__(self, nv, edges, deg_cap=24, base_cap=512, max_levels=64,
-                 adaptive_cap=False):
+                 adaptive_cap=False, min_picked=32):
         # adjacency sets
         adj = [set() for _ in range(nv)]
         for a, b in edges:
@@ -135,7 +135,11 @@ class BlockGraphSymbolic:
                 min_deg = min(len(adj[v]) for v in alive)
                 cap_l = max(deg_cap, int(1.5 * min_deg) + 1)
             picked = _greedy_min_degree_is(adj, alive, cap_l)
-            if not picked:
+            # trailing micro-levels (a handful of vertices each) are pure
+            # kernel-launch latency on TPU; below min_picked the dense MXU
+            # core absorbs them more cheaply than batched ops on p~1
+            if not picked or (len(picked) < min_picked
+                              and len(alive) <= 2 * base_cap):
                 break
             q = max(len(adj[v]) for v in picked)
             p = len(picked)
@@ -217,7 +221,7 @@ class GeneralSparseCholesky:
     MAX_BLOCKS = 40_000
     MAX_FILL_RATIO = 40.0
 
-    def __init__(self, cp, deg_cap=24, base_cap=512):
+    def __init__(self, cp, deg_cap=24, base_cap=512, min_picked=32):
         self.cp = cp
         nv, dof_arr, col_arr, edges = self._block_graph(cp)
         self.nv = nv
@@ -225,7 +229,8 @@ class GeneralSparseCholesky:
         self.dof_arr = dof_arr
         self.col_arr = col_arr
         self.sym = BlockGraphSymbolic(nv, edges, deg_cap=deg_cap,
-                                      base_cap=base_cap)
+                                      base_cap=base_cap,
+                                      min_picked=min_picked)
         self._build_assembly_plan()
         self._build_base_plan()
         self._levels_dev = [
