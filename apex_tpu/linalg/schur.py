@@ -771,7 +771,11 @@ class SchurContext:
         round-2 venice late-phase cliff was ~200 PCG iterations per LM
         step from a zero start). Guarded: if S x0 - b is not actually
         smaller than b (big damping jump, rejected step), fall back to the
-        zero start — one extra S·x product per solve, only when x0 given."""
+        zero start. The warm residual S·x0 is computed INSIDE the loop's
+        first pass (a lax.cond init branch) so it reuses the loop body's
+        S-apply transients — a standalone apply_S(x0) allocated a second
+        set of venice-scale plane buffers and pushed compile-time peak
+        HBM 3.4 GB over capacity."""
         if rtol is None:
             rtol = self.pcg_rtol_floor
         if max_iter is None:
@@ -779,14 +783,11 @@ class SchurContext:
         dot = self._dot64
         bb = dot(b, b)
         tol2 = jnp.asarray(rtol, bb.dtype) ** 2 * bb
+        warm = x0 is not None
+        it_off = 1 if warm else 0  # iteration 0 is the init pass
 
-        def cond(state):
+        def cg_update(state, Sp):
             x, r, z, p, rz, it = state
-            return (dot(r, r) > tol2) & (it < max_iter)
-
-        def body(state):
-            x, r, z, p, rz, it = state
-            Sp = apply_S(p)
             denom = dot(p, Sp)
             alpha = (rz / jnp.where(denom == 0, 1.0, denom)).astype(b.dtype)
             x = x + alpha * p
@@ -797,17 +798,42 @@ class SchurContext:
             p = z + beta * p
             return (x, r, z, p, rz_new, it + 1)
 
-        if x0 is None:
-            xs = jnp.zeros_like(b)
-            rs = b
-        else:
-            r_warm = b - apply_S(x0)
-            use_warm = dot(r_warm, r_warm) < bb
-            xs = jnp.where(use_warm, x0, jnp.zeros_like(b))
-            rs = jnp.where(use_warm, r_warm, b)
-        z0 = apply_M(rs)
-        state = (xs, rs, z0, z0, dot(rs, z0), jnp.asarray(0, jnp.int32))
-        x, r, *_ = jax.lax.while_loop(cond, body, state)
+        if not warm:
+            def cond(state):
+                x, r, z, p, rz, it = state
+                return (dot(r, r) > tol2) & (it < max_iter)
+
+            def body(state):
+                return cg_update(state, apply_S(state[3]))
+
+            z0 = apply_M(b)
+            state = (jnp.zeros_like(b), b, z0, z0, dot(b, z0),
+                     jnp.asarray(0, jnp.int32))
+            x, *_ = jax.lax.while_loop(cond, body, state)
+            return x
+
+        def cond(state):
+            x, r, z, p, rz, it = state
+            return (it == 0) | ((dot(r, r) > tol2) & (it < max_iter + it_off))
+
+        def body(state):
+            x, r, z, p, rz, it = state
+            Sp = apply_S(p)  # on the init pass p == x0
+
+            def init_branch(_):
+                r_w = b - Sp
+                better = dot(r_w, r_w) < bb
+                x_n = jnp.where(better, p, jnp.zeros_like(p))
+                r_n = jnp.where(better, r_w, b)
+                z_n = apply_M(r_n)
+                return (x_n, r_n, z_n, z_n, dot(r_n, z_n), it + 1)
+
+            return jax.lax.cond(it == 0, init_branch,
+                                lambda _: cg_update(state, Sp), None)
+
+        one = jnp.ones((), b.dtype)
+        state = (x0, b, b, x0, dot(b, b) + one, jnp.asarray(0, jnp.int32))
+        x, *_ = jax.lax.while_loop(cond, body, state)
         return x
 
     # Pairs processed per scatter step in the explicit variant. Dense
