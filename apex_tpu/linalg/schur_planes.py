@@ -228,11 +228,23 @@ class UniformSchur:
     # per stack at venice scale, several of which used to be live at once).
     ENT_CHUNK = 1 << 20
 
+    # entity count below which the one-hot contraction is preferred on
+    # TPU: its cost scales with K*E (one-hot tiles), the scatter's with K
+    # alone, so it only pays while E fits a few MXU tiles. BA entity
+    # tables (cameras) are O(thousands); measured at venice scale
+    # (K=6.3M, E=1778): scatter 49 ms vs one-hot 21 ms per 9-plane sum.
+    ONEHOT_MAX_E = 4096
+    ONEHOT_CHUNK = 8192
+    ONEHOT_MIN_K = 1 << 17
+
     def _ent_planes_segsum(self, ug: _UGroup, planes):
         """list of n [K] planes -> [E, n] entity sums, chunked over K."""
         E = self.ctx.num_entities
         n = len(planes)
         K = int(planes[0].shape[0])
+        if (K >= self.ONEHOT_MIN_K and E <= self.ONEHOT_MAX_E
+                and jax.default_backend() == "tpu"):
+            return self._onehot_segsum(ug, planes)
         C = self.ENT_CHUNK
         if K <= C:
             return jax.ops.segment_sum(
@@ -249,6 +261,40 @@ class UniformSchur:
             return acc + jax.ops.segment_sum(sl.T, ii, num_segments=E + 1)
 
         acc0 = jnp.zeros((E + 1, n), dtype=planes[0].dtype)
+        return jax.lax.fori_loop(0, nc, body, acc0)[:E]
+
+    def _onehot_segsum(self, ug: _UGroup, planes):
+        """Entity segment-sum as a chunked one-hot MXU contraction:
+        out[e, i] = sum_k [ids[k] == e] * planes[i][k]. The random-access
+        scatter-add becomes per-chunk (one_hot[C, E+1])^T @ planes[n, C]^T
+        dots — every memory access is sequential and the reduction rides
+        the MXU. Exact (the one-hot operand is 0/1; accumulation stays in
+        the plane dtype). The [n, K] stack keeps K in the lane dimension
+        (a [K, n] layout would tile-pad n -> 128 lanes, 14x HBM at BA
+        scale), and fori_loop + dynamic_slice avoids scan's materialized
+        xs operand."""
+        E = self.ctx.num_entities
+        n = len(planes)
+        K = int(planes[0].shape[0])
+        dt = planes[0].dtype
+        C = self.ONEHOT_CHUNK
+        arr = jax.lax.optimization_barrier(jnp.stack(planes, axis=0))  # [n, K]
+        nc = -(-K // C)
+        Kp = nc * C
+        if Kp > K:
+            arr = jnp.pad(arr, ((0, 0), (0, Kp - K)))
+        ids = jnp.pad(ug.ent_ids, (0, Kp - K), constant_values=E)
+
+        def body(i, acc):
+            sl = jax.lax.dynamic_slice(arr, (0, i * C), (n, C))  # [n, C]
+            ii = jax.lax.dynamic_slice(ids, (i * C,), (C,))
+            oh = (ii[:, None] == jax.lax.broadcasted_iota(
+                jnp.int32, (C, E + 1), 1)).astype(dt)  # [C, E+1]
+            return acc + jax.lax.dot_general(
+                oh, sl, (((0,), (1,)), ((), ())),
+                preferred_element_type=dt)  # [E+1, n]
+
+        acc0 = jnp.zeros((E + 1, n), dtype=dt)
         return jax.lax.fori_loop(0, nc, body, acc0)[:E]
 
     def _lm_reduce(self, ug: _UGroup, plane):

@@ -53,6 +53,30 @@ def test_plane_and_block_paths_match_on_same_problem(ba_dataset, monkeypatch):
     np.testing.assert_allclose(pred_b, pred_u, rtol=1e-7)
 
 
+def test_onehot_segsum_matches_scatter(ba_dataset, monkeypatch):
+    """The TPU one-hot MXU segment-sum (schur_planes._onehot_segsum) is
+    platform-gated off on CPU; pin its numerics against the scatter
+    segment_sum directly so the hardware path can't drift."""
+    import jax.numpy as jnp
+    import jax
+
+    cp = _compile(ba_dataset, "bucketed", "1", monkeypatch)
+    ctx = SchurContext(cp, variant="iterative")
+    uni = ctx.uniform
+    assert uni is not None
+    rng = np.random.default_rng(3)
+    for ug in uni.ugroups:
+        K = int(ug.ent_ids.shape[0])
+        n = 5
+        planes = [jnp.asarray(rng.standard_normal(K)) for _ in range(n)]
+        want = jax.ops.segment_sum(
+            jnp.stack(planes, axis=1), ug.ent_ids,
+            num_segments=ctx.num_entities)
+        got = uni._onehot_segsum(ug, planes)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12, atol=1e-12)
+
+
 def test_flat_layout_end_to_end_matches(ba_dataset, monkeypatch):
     """layout="flat" (no bucketing, one landmark-sorted group) must reach
     the same final cost through a full LM solve — previously flat had no
