@@ -203,6 +203,7 @@ class SchurContext:
         pcg_tolerance: float = 1e-6,
         pcg_forcing: bool = True,
         pp_shift_floor: Optional[float] = None,
+        pcg_q_tolerance: Optional[float] = None,
     ):
         self.cp = cp
         self.variant = variant
@@ -210,6 +211,15 @@ class SchurContext:
         self.pcg_max_iterations = pcg_max_iterations
         self.pcg_tolerance = pcg_tolerance
         self.pcg_forcing = pcg_forcing
+        # Nash-Sofer Q-stagnation termination (the criterion Ceres uses for
+        # ITERATIVE_SCHUR inner solves): stop when the relative per-
+        # iteration decrease of the quadratic model Q(x) = 0.5 x'Sx - b'x
+        # satisfies  n * (Q_n - Q_{n-1}) / Q_n < q_tol.  The residual norm
+        # is a poor proxy for LM *step quality* — Q stagnates (the step
+        # stops improving) long before the residual meets an rtol, so this
+        # typically cuts inner iterations severalfold at BA scale. None
+        # disables (default here; the LM driver opts in).
+        self.pcg_q_tol = pcg_q_tolerance
         f32 = jnp.dtype(cp.dtype) == jnp.float32
         # f32 PCG stagnates around 1e-5 relative residual; asking for 1e-6
         # just burns the full iteration budget every LM iteration (observed:
@@ -780,14 +790,29 @@ class SchurContext:
             rtol = self.pcg_rtol_floor
         if max_iter is None:
             max_iter = self.pcg_iter_cap
+        q_tol = self.pcg_q_tol
         dot = self._dot64
         bb = dot(b, b)
         tol2 = jnp.asarray(rtol, bb.dtype) ** 2 * bb
         warm = x0 is not None
         it_off = 1 if warm else 0  # iteration 0 is the init pass
 
+        def q_of(x, r):
+            # Q(x) = 0.5 x'Sx - b'x = -0.5 (x'b + x'r)  since r = b - Sx
+            return -0.5 * (dot(x, b) + dot(x, r))
+
+        def q_continue(Qp, Qn, it):
+            """False once the quadratic model stagnates (Nash-Sofer
+            criterion, as in Ceres' conjugate_gradients_solver)."""
+            if q_tol is None:
+                return jnp.asarray(True)
+            n = (it - it_off).astype(bb.dtype)
+            zeta = n * (Qn - Qp) / jnp.where(Qn == 0, -1.0, Qn)
+            return (n < 2) | (zeta >= q_tol)
+
+        # state: (x, r, z, p, rz, Q_prev, Q, it)
         def cg_update(state, Sp):
-            x, r, z, p, rz, it = state
+            x, r, z, p, rz, Qp, Qn, it = state
             denom = dot(p, Sp)
             alpha = (rz / jnp.where(denom == 0, 1.0, denom)).astype(b.dtype)
             x = x + alpha * p
@@ -796,28 +821,31 @@ class SchurContext:
             rz_new = dot(r, z)
             beta = (rz_new / jnp.where(rz == 0, 1.0, rz)).astype(b.dtype)
             p = z + beta * p
-            return (x, r, z, p, rz_new, it + 1)
+            return (x, r, z, p, rz_new, Qn, q_of(x, r), it + 1)
 
+        zero_q = jnp.zeros((), bb.dtype)
         if not warm:
             def cond(state):
-                x, r, z, p, rz, it = state
-                return (dot(r, r) > tol2) & (it < max_iter)
+                x, r, z, p, rz, Qp, Qn, it = state
+                return ((dot(r, r) > tol2) & (it < max_iter)
+                        & q_continue(Qp, Qn, it))
 
             def body(state):
                 return cg_update(state, apply_S(state[3]))
 
             z0 = apply_M(b)
             state = (jnp.zeros_like(b), b, z0, z0, dot(b, z0),
-                     jnp.asarray(0, jnp.int32))
+                     zero_q, zero_q, jnp.asarray(0, jnp.int32))
             x, *_ = jax.lax.while_loop(cond, body, state)
             return x
 
         def cond(state):
-            x, r, z, p, rz, it = state
-            return (it == 0) | ((dot(r, r) > tol2) & (it < max_iter + it_off))
+            x, r, z, p, rz, Qp, Qn, it = state
+            return (it == 0) | ((dot(r, r) > tol2) & (it < max_iter + it_off)
+                                & q_continue(Qp, Qn, it))
 
         def body(state):
-            x, r, z, p, rz, it = state
+            x, r, z, p, rz, Qp, Qn, it = state
             Sp = apply_S(p)  # on the init pass p == x0
 
             def init_branch(_):
@@ -826,13 +854,15 @@ class SchurContext:
                 x_n = jnp.where(better, p, jnp.zeros_like(p))
                 r_n = jnp.where(better, r_w, b)
                 z_n = apply_M(r_n)
-                return (x_n, r_n, z_n, z_n, dot(r_n, z_n), it + 1)
+                return (x_n, r_n, z_n, z_n, dot(r_n, z_n),
+                        zero_q, q_of(x_n, r_n), it + 1)
 
             return jax.lax.cond(it == 0, init_branch,
                                 lambda _: cg_update(state, Sp), None)
 
         one = jnp.ones((), b.dtype)
-        state = (x0, b, b, x0, dot(b, b) + one, jnp.asarray(0, jnp.int32))
+        state = (x0, b, b, x0, dot(b, b) + one,
+                 zero_q, zero_q, jnp.asarray(0, jnp.int32))
         x, *_ = jax.lax.while_loop(cond, body, state)
         return x
 

@@ -82,6 +82,14 @@ class LevenbergMarquardtConfig:
     # systems barely change. The previous step rides in the (otherwise
     # unused on Schur paths) jacobi_scale state slot.
     pcg_warm_start: bool = True
+    # Nash-Sofer Q-stagnation termination for the implicit-Schur PCG (the
+    # inner-loop criterion Ceres uses for ITERATIVE_SCHUR): stop once
+    # n * (Q_n - Q_{n-1}) / Q_n < pcg_q_tolerance, where Q is the CG
+    # quadratic model. The residual norm badly over-estimates how many
+    # inner iterations an LM step needs; Q stagnation stops severalfold
+    # earlier at BA scale with no loss in LM convergence (the rho-based
+    # step acceptance still guards quality). None disables.
+    pcg_q_tolerance: Optional[float] = 0.1
     # Decoupled landmark-block shift floor (None = dtype default: 1e-4 in
     # f32, 0 in f64) — see SchurContext.pp_shift_floor.
     schur_pp_shift_floor: Optional[float] = None
@@ -169,6 +177,11 @@ class LevenbergMarquardt:
                 pcg_tolerance=cfg.pcg_tolerance,
                 pcg_forcing=cfg.pcg_forcing,
                 pp_shift_floor=cfg.schur_pp_shift_floor,
+                # Q-stagnation is an inexact-inner-solve policy like the
+                # forcing sequence; pcg_forcing=False means "exact solves"
+                # (the agreement tests rely on it), so it disables both.
+                pcg_q_tolerance=(cfg.pcg_q_tolerance if cfg.pcg_forcing
+                                 else None),
             )
 
             warm = (cfg.pcg_warm_start and variant == "iterative"
