@@ -76,6 +76,7 @@ def make_sharded_schur_step(
     pcg_tolerance: float = 1e-6,
     damping_min: float = 1e-12,
     damping_max: float = 1e12,
+    pcg_q_tolerance: float = 0.1,
 ):
     """Build a full sharded LM-with-implicit-Schur iteration:
     fn(values, damping, nu, cost) -> (values, damping, nu, cost).
@@ -86,6 +87,7 @@ def make_sharded_schur_step(
         cp, eliminate_prefix=eliminate_prefix, variant="iterative",
         preconditioner=preconditioner,
         pcg_max_iterations=pcg_max_iterations, pcg_tolerance=pcg_tolerance,
+        pcg_q_tolerance=pcg_q_tolerance,
     )
     if ctx.uniform is not None:
         # Uniform (bucketed) layout: landmark-PARTITIONED plane pipeline —
