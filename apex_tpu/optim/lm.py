@@ -151,11 +151,20 @@ class LevenbergMarquardt:
         # unbounded-size iterative tier.
         aliases = {
             "sparse_cholesky": "banded_cholesky",
-            "sparse_qr": "dense_qr",
+            "sparse_qr": "banded_qr",
             "sparse_schur_complement": "schur_explicit",
             "iterative_schur": "schur_implicit",
         }
         solver_type = aliases.get(cfg.linear_solver_type, cfg.linear_solver_type)
+        if solver_type == "banded_qr":
+            # QR of the normal equations (reference SparseQRSolver,
+            # sparse/qr.rs:13-262) rides the banded storage; a
+            # panel-hostile bandwidth falls back to the dense damped
+            # stacked-J QR, which is at least as rank-robust.
+            from ..linalg import banded as _banded
+
+            if _banded.block_bandwidth(cp) > 1536:
+                solver_type = "dense_qr"
         if solver_type in ("schur_explicit", "schur_implicit", "sparse_schur",
                            "schur", "schur_auto"):
             from ..linalg.schur import SchurContext
@@ -239,7 +248,7 @@ class LevenbergMarquardt:
 
             return solve_qr_fn
 
-        if solver_type in ("banded_cholesky", "sparse_general"):
+        if solver_type in ("banded_cholesky", "sparse_general", "banded_qr"):
             from ..linalg import banded
 
             # General-sparsity tier (reference: faer fill-reducing LLT
@@ -249,7 +258,8 @@ class LevenbergMarquardt:
             # (linalg/sparse_general.py) instead of cliffing to a huge
             # banded panel or dense Cholesky.
             use_general = solver_type == "sparse_general"
-            if not use_general and cfg.banded_panel is None:
+            if not use_general and cfg.banded_panel is None \
+                    and solver_type != "banded_qr":
                 from ..linalg.sparse_general import GeneralSparseCholesky
 
                 W = banded.block_bandwidth(cp)
@@ -268,7 +278,13 @@ class LevenbergMarquardt:
                     return solve_general
 
             asm = banded.BandedNormalAssembler(cp, block=cfg.banded_panel)
-            core = banded.make_blocktri_cr_core(cp.total_dof, asm.m, cp.dtype)
+            if solver_type == "banded_qr":
+                from ..linalg.banded_qr import make_blocktri_qr_core
+
+                core = make_blocktri_qr_core(cp.total_dof, asm.m, cp.dtype)
+            else:
+                core = banded.make_blocktri_cr_core(cp.total_dof, asm.m,
+                                                    cp.dtype)
             D, m, n, Dp = asm.D, asm.m, asm.n, asm.Dp
 
             def solve_banded(values, damping, iteration, jacobi_scale):
