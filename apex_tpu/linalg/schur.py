@@ -801,18 +801,25 @@ class SchurContext:
             # Q(x) = 0.5 x'Sx - b'x = -0.5 (x'b + x'r)  since r = b - Sx
             return -0.5 * (dot(x, b) + dot(x, r))
 
-        def q_continue(Qp, Qn, it):
+        def q_continue(Qp, Qn, Q0, it):
             """False once the quadratic model stagnates (Nash-Sofer
-            criterion, as in Ceres' conjugate_gradients_solver)."""
+            criterion, as in Ceres' conjugate_gradients_solver). Progress
+            is measured relative to THIS call's starting model value Q0
+            (0 for a zero start — classic criterion): a good warm start
+            makes the absolute Q large immediately, and n(Qn-Qp)/Qn would
+            read "stagnant" at n=2 and hand back ~x0, the previous LM
+            step over again (measured: venice stalls at RMSE 0.749 where
+            the zero-start solve reaches the 0.68 noise floor)."""
             if q_tol is None:
                 return jnp.asarray(True)
             n = (it - it_off).astype(bb.dtype)
-            zeta = n * (Qn - Qp) / jnp.where(Qn == 0, -1.0, Qn)
+            dq = Qn - Q0
+            zeta = n * (Qn - Qp) / jnp.where(dq == 0, -1.0, dq)
             return (n < 2) | (zeta >= q_tol)
 
-        # state: (x, r, z, p, rz, Q_prev, Q, it)
+        # state: (x, r, z, p, rz, Q_prev, Q, Q_start, it)
         def cg_update(state, Sp):
-            x, r, z, p, rz, Qp, Qn, it = state
+            x, r, z, p, rz, Qp, Qn, Q0, it = state
             denom = dot(p, Sp)
             alpha = (rz / jnp.where(denom == 0, 1.0, denom)).astype(b.dtype)
             x = x + alpha * p
@@ -821,31 +828,31 @@ class SchurContext:
             rz_new = dot(r, z)
             beta = (rz_new / jnp.where(rz == 0, 1.0, rz)).astype(b.dtype)
             p = z + beta * p
-            return (x, r, z, p, rz_new, Qn, q_of(x, r), it + 1)
+            return (x, r, z, p, rz_new, Qn, q_of(x, r), Q0, it + 1)
 
         zero_q = jnp.zeros((), bb.dtype)
         if not warm:
             def cond(state):
-                x, r, z, p, rz, Qp, Qn, it = state
+                x, r, z, p, rz, Qp, Qn, Q0, it = state
                 return ((dot(r, r) > tol2) & (it < max_iter)
-                        & q_continue(Qp, Qn, it))
+                        & q_continue(Qp, Qn, Q0, it))
 
             def body(state):
                 return cg_update(state, apply_S(state[3]))
 
             z0 = apply_M(b)
             state = (jnp.zeros_like(b), b, z0, z0, dot(b, z0),
-                     zero_q, zero_q, jnp.asarray(0, jnp.int32))
+                     zero_q, zero_q, zero_q, jnp.asarray(0, jnp.int32))
             x, *_ = jax.lax.while_loop(cond, body, state)
             return x
 
         def cond(state):
-            x, r, z, p, rz, Qp, Qn, it = state
+            x, r, z, p, rz, Qp, Qn, Q0, it = state
             return (it == 0) | ((dot(r, r) > tol2) & (it < max_iter + it_off)
-                                & q_continue(Qp, Qn, it))
+                                & q_continue(Qp, Qn, Q0, it))
 
         def body(state):
-            x, r, z, p, rz, Qp, Qn, it = state
+            x, r, z, p, rz, Qp, Qn, Q0, it = state
             Sp = apply_S(p)  # on the init pass p == x0
 
             def init_branch(_):
@@ -854,15 +861,16 @@ class SchurContext:
                 x_n = jnp.where(better, p, jnp.zeros_like(p))
                 r_n = jnp.where(better, r_w, b)
                 z_n = apply_M(r_n)
+                q_n = q_of(x_n, r_n)
                 return (x_n, r_n, z_n, z_n, dot(r_n, z_n),
-                        zero_q, q_of(x_n, r_n), it + 1)
+                        q_n, q_n, q_n, it + 1)
 
             return jax.lax.cond(it == 0, init_branch,
                                 lambda _: cg_update(state, Sp), None)
 
         one = jnp.ones((), b.dtype)
         state = (x0, b, b, x0, dot(b, b) + one,
-                 zero_q, zero_q, jnp.asarray(0, jnp.int32))
+                 zero_q, zero_q, zero_q, jnp.asarray(0, jnp.int32))
         x, *_ = jax.lax.while_loop(cond, body, state)
         return x
 

@@ -93,6 +93,21 @@ def test_ba_self_calibration_converges(small_ba, solver):
     assert res.final_cost < 0.15 * res.initial_cost
 
 
+def test_warm_start_q_termination_keeps_converging(small_ba):
+    """Regression: the Nash-Sofer Q-stagnation criterion must measure
+    progress relative to THIS PCG call (Q0-relative) — against the
+    absolute Q, a good warm start reads as instant stagnation, PCG hands
+    back ~the previous LM step and the solve stalls above the noise
+    floor (observed at venice scale: RMSE 0.749 stall vs 0.68 floor).
+    The default config (warm start + q_tol 0.1) must land within 1% of
+    the exact-solve final cost."""
+    r_exact = _solve(small_ba, "schur_implicit", pcg_tolerance=1e-10,
+                     pcg_max_iterations=500, pcg_forcing=False)
+    r_adaptive = _solve(small_ba, "schur_implicit")  # defaults: warm+qterm
+    assert r_adaptive.final_cost < 1.01 * r_exact.final_cost, (
+        r_adaptive.summary(), r_exact.summary())
+
+
 def test_schur_solvers_agree_with_dense(small_ba):
     r_dense = _solve(small_ba, "dense_cholesky")
     # forcing disabled: the agreement check wants exact solves (the forcing
