@@ -76,7 +76,7 @@ def make_sharded_schur_step(
     pcg_tolerance: float = 1e-6,
     damping_min: float = 1e-12,
     damping_max: float = 1e12,
-    pcg_q_tolerance: float = 0.1,
+    pcg_q_tolerance: float | None = None,
 ):
     """Build a full sharded LM-with-implicit-Schur iteration:
     fn(values, damping, nu, cost) -> (values, damping, nu, cost).

@@ -18,7 +18,7 @@ real files; the real files load through the same apex_tpu.io paths).
 
 The venice/ladybug rungs are heavy (minutes of compile + solve); they
 run last and are skipped with a stderr note if the bench has already
-used its wall-clock budget (APEX_BENCH_DEADLINE seconds, default 2100)
+used its wall-clock budget (APEX_BENCH_DEADLINE seconds, default 3000)
 — e.g. when the TPU tunnel is degraded.
 
 vs_baseline = baseline / measured (>1 means faster than the reference).
@@ -39,7 +39,7 @@ def _log(msg):
 
 
 def _deadline_left():
-    budget = float(os.environ.get("APEX_BENCH_DEADLINE", "2100"))
+    budget = float(os.environ.get("APEX_BENCH_DEADLINE", "3000"))
     return budget - (time.perf_counter() - BENCH_START)
 
 
@@ -326,15 +326,18 @@ def main():
     # (name, fn, estimated seconds on healthy hardware — heavy rungs are
     # skipped when the remaining APEX_BENCH_DEADLINE budget is below the
     # estimate, so a degraded TPU tunnel can't hang the whole bench)
+    # North-star venice runs BEFORE the capability rungs so a tight
+    # budget skips those, never the headline (round-2 lesson: venice was
+    # the one rung the deadline cut).
     ladder = [
         ("sphere2500", lambda: bench_sphere2500(dtype, runs), 60),
         ("m3500", lambda: bench_m3500(dtype, runs), 30),
         ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2)), 150),
         ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2)), 200),
+        ("venice", lambda: bench_ba_venice(dtype), 700),
+        ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
         ("pose50k", lambda: bench_50k(dtype), 330),
         ("grid3d", lambda: bench_grid3d(dtype), 180),
-        ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
-        ("venice", lambda: bench_ba_venice(dtype), 700),
     ]
     results = []
     for name, fn, est in ladder:
