@@ -126,23 +126,32 @@ class DogLeg(LevenbergMarquardt):
     def _make_step_fn(self, cp: CompiledProblem):
         dl = self.dl_config
         ccfg = dl.convergence()
-        solver_type = {"sparse_cholesky": "banded_cholesky"}.get(
+        solver_type = {"sparse_cholesky": "banded_cholesky",
+                       "sparse_qr": "banded_qr"}.get(
             dl.linear_solver_type, dl.linear_solver_type
         )
-        if solver_type not in ("dense_cholesky", "dense_qr", "banded_cholesky"):
+        if solver_type not in ("dense_cholesky", "dense_qr",
+                               "banded_cholesky", "banded_qr"):
             raise NotImplementedError(
-                "DogLeg supports dense_cholesky / dense_qr / banded_cholesky"
+                "DogLeg supports dense_cholesky / dense_qr / "
+                "sparse_cholesky (banded) / sparse_qr (banded)"
             )
 
         # Hessian representation: dense [D, D], or block-tridiagonal
         # (Dg, Cg) panels from the banded assembler (linalg/banded.py) —
         # same storage the LM banded path uses; carried through the trust-
         # region cache so rejected steps reuse the factorizable form.
-        if solver_type == "banded_cholesky":
+        if solver_type in ("banded_cholesky", "banded_qr"):
             from ..linalg import banded
 
             asm = banded.BandedNormalAssembler(cp)
-            core = banded.make_blocktri_cr_core(cp.total_dof, asm.m, cp.dtype)
+            if solver_type == "banded_qr":
+                from ..linalg.banded_qr import make_blocktri_qr_core
+
+                core = make_blocktri_qr_core(cp.total_dof, asm.m, cp.dtype)
+            else:
+                core = banded.make_blocktri_cr_core(cp.total_dof, asm.m,
+                                                    cp.dtype)
             D_, m_, n_, Dp_ = asm.D, asm.m, asm.n, asm.Dp
 
             def assemble(values):

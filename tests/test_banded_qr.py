@@ -106,6 +106,17 @@ def test_lm_sparse_qr_matches_cholesky_e2e():
                                rtol=1e-8, atol=1e-12)
 
 
+def test_dogleg_sparse_qr():
+    """DogLeg rides the banded QR tier too (reference DogLeg accepts any
+    LinearSolver, dog_leg.rs)."""
+    g = synthetic.synthetic_pose_graph_2d(n_poses=50, loop_stride=5, seed=9)
+    cp = g.to_problem(fix_first=True).compile(dtype=np.float64)
+    cfg = apx.DogLegConfig(linear_solver_type="sparse_qr", max_iterations=40)
+    r = apx.DogLeg(cfg).optimize(cp)
+    assert r.converged, r.summary()
+    assert r.final_cost < 0.1 * r.initial_cost
+
+
 def test_lm_sparse_qr_jit_mode():
     g = synthetic.synthetic_pose_graph_3d(n_poses=40, rings=4, seed=5)
     cp = g.to_problem().compile(dtype=np.float64)
