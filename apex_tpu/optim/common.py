@@ -80,7 +80,10 @@ def check_convergence(
         | ~jnp.isfinite(parameter_update_norm)
         | ~jnp.isfinite(gradient_norm)
     )
-    max_iter = iteration >= cfg.max_iterations
+    # ``iteration`` is the 0-based index of the step that just ran, so
+    # (iteration + 1) is the number of LM steps performed: max_iterations=N
+    # means exactly N steps (the previous >= check ran N+1).
+    max_iter = iteration + 1 >= cfg.max_iterations
 
     grad_ok = gradient_norm < cfg.gradient_tolerance
 

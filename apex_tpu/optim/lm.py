@@ -84,12 +84,16 @@ class LevenbergMarquardtConfig:
     pcg_warm_start: bool = True
     # Nash-Sofer Q-stagnation termination for the implicit-Schur PCG (the
     # inner-loop criterion Ceres uses for ITERATIVE_SCHUR): stop once
-    # n * (Q_n - Q_{n-1}) / Q_n < pcg_q_tolerance, where Q is the CG
-    # quadratic model. The residual norm badly over-estimates how many
-    # inner iterations an LM step needs; Q stagnation stops severalfold
-    # earlier at BA scale with no loss in LM convergence (the rho-based
-    # step acceptance still guards quality). None disables.
-    pcg_q_tolerance: Optional[float] = 0.1
+    # n * (Q_n - Q_{n-1}) / (Q_n - Q_0) < pcg_q_tolerance, where Q is the
+    # CG quadratic model and Q_0 its value at this call's start (warm
+    # start included). OPT-IN (None disables, the default): measured at
+    # venice scale it under-iterates — 5-step solves land at RMSE 0.878
+    # where the residual/forcing criterion with the same inner cap
+    # reaches the 0.677 noise floor in the same wall clock
+    # (doc/performance.md round-3 PCG notes). The forcing sequence +
+    # warm start + inner cap already remove the late-phase waste this
+    # criterion targets.
+    pcg_q_tolerance: Optional[float] = None
     # Decoupled landmark-block shift floor (None = dtype default: 1e-4 in
     # f32, 0 in f64) — see SchurContext.pp_shift_floor.
     schur_pp_shift_floor: Optional[float] = None
@@ -634,7 +638,7 @@ class LevenbergMarquardt:
         # the remote tunnel would dwarf a millisecond-scale solve).
         large = cp.total_residual_dim >= 200_000
         if cfg.timeout is None and not large:
-            state = run_until(state, jnp.asarray(cfg.max_iterations + 1, jnp.int32))
+            state = run_until(state, jnp.asarray(cfg.max_iterations, jnp.int32))
         else:
             # ~8 host checks across the budget; each inter-chunk sync costs
             # one dispatch round trip, negligible next to an LM iteration.
@@ -643,7 +647,7 @@ class LevenbergMarquardt:
             chunk = max(1, -(-cfg.max_iterations // 8))
             if cp.total_residual_dim >= 2_000_000:
                 chunk = 1
-            cap = cfg.max_iterations + 1  # last body flips status to MAX_ITERATIONS
+            cap = cfg.max_iterations  # body at index cap-1 flips status to MAX_ITERATIONS
             done = 0
             while True:
                 done = min(done + chunk, cap)

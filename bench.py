@@ -238,7 +238,7 @@ def bench_ba_ladybug(dtype):
     noise floor (RMSE ~0.65) sits above the reference's real-data final
     (0.537), so wall-clock-to-same-RMSE is not measurable; the honest
     comparison is s/LM-iter at full scale, measured over a fixed
-    4-iteration warm solve."""
+    5-step warm solve."""
     import apex_tpu as apx
     from apex_tpu.ba import build_ba_problem, rmse
     from apex_tpu.io import synthetic
@@ -248,7 +248,7 @@ def bench_ba_ladybug(dtype):
     cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
     cfg = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
-        max_iterations=4, mode="jit", pcg_max_iterations=50)
+        max_iterations=5, mode="jit", pcg_max_iterations=15)
     lm = apx.LevenbergMarquardt(cfg)
     t0 = time.perf_counter()
     result = lm.optimize(cp)
@@ -266,14 +266,14 @@ def bench_ba_ladybug(dtype):
     return _row("ladybug1723_synthetic_ba_per_iter", spi, "s",
                 146.69 / 30, 1,
                 note="s/LM-iter at full ladybug-1723 scale over a warm "
-                     "4-iteration solve; reference = 146.69 s / 30 iters = "
+                     "5-step solve; reference = 146.69 s / 30 iters = "
                      "4.89 s/iter. Full-convergence run: doc/performance.md "
                      "(82.5 s to this synthetic's cost tolerance)")
 
 
 def bench_ba_venice(dtype):
     """Venice-scale BA — the BASELINE.json north star (>=5x the reference's
-    83.17 s on one chip). Runs the 4-iteration converged-quality solve
+    83.17 s on one chip). Runs the 5-step converged-quality solve
     from doc/performance.md (RMSE reaches the synthetic's ~0.68 px noise
     floor; later iterations buy <0.5% cost at growing PCG price)."""
     import apex_tpu as apx
@@ -288,7 +288,7 @@ def bench_ba_venice(dtype):
          f"{time.perf_counter() - t0:.0f}s")
     cfg = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
-        max_iterations=4, mode="jit", pcg_max_iterations=50)
+        max_iterations=5, mode="jit", pcg_max_iterations=15)
     lm = apx.LevenbergMarquardt(cfg)
     t0 = time.perf_counter()
     result = lm.optimize(cp)
@@ -300,12 +300,13 @@ def bench_ba_venice(dtype):
     r1 = rmse(result.final_cost, ds.num_observations)
     _log(f"# venice-1778 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
          f"| cold {warm_s:.0f}s warm {best:.1f}s vs reference 83.17 s")
-    if not (r1 < 0.75):
+    if not (r1 < 0.70):
         raise RuntimeError(f"venice did not reach noise floor: {r1:.3f}")
     return _row("venice1778_synthetic_ba_solve", best, "s", 83.17,
                 result.iterations,
-                note="4-iteration converged-quality solve (RMSE at the "
-                     "synthetic's noise floor; reference solved the real "
+                note="5-step converged-quality solve, inner PCG budget 15 "
+                     "(RMSE gate < 0.70 px proves the synthetic's ~0.68 "
+                     "noise floor is reached; reference solved the real "
                      "venice in 2 iterations/83.17 s). Deeper runs cost "
                      "more: see doc/performance.md venice table")
 

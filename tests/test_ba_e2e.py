@@ -99,11 +99,11 @@ def test_warm_start_q_termination_keeps_converging(small_ba):
     absolute Q, a good warm start reads as instant stagnation, PCG hands
     back ~the previous LM step and the solve stalls above the noise
     floor (observed at venice scale: RMSE 0.749 stall vs 0.68 floor).
-    The default config (warm start + q_tol 0.1) must land within 1% of
-    the exact-solve final cost."""
+    Warm start + q_tol 0.1 (the criterion is opt-in) must land within 1%
+    of the exact-solve final cost."""
     r_exact = _solve(small_ba, "schur_implicit", pcg_tolerance=1e-10,
                      pcg_max_iterations=500, pcg_forcing=False)
-    r_adaptive = _solve(small_ba, "schur_implicit")  # defaults: warm+qterm
+    r_adaptive = _solve(small_ba, "schur_implicit", pcg_q_tolerance=0.1)
     assert r_adaptive.final_cost < 1.01 * r_exact.final_cost, (
         r_adaptive.summary(), r_exact.summary())
 
