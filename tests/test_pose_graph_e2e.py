@@ -57,6 +57,33 @@ def test_se3_jit_mode_matches_python_mode():
     np.testing.assert_allclose(r1.final_cost, r2.final_cost, rtol=1e-12)
 
 
+def test_robust_loss_sweep_with_priors_parking_garage():
+    """BASELINE key config: robust-loss sweep + priors on a
+    parking-garage-style SE3 graph (multi-level rings; the reference runs
+    the 15-loss menu over parking-garage, bin/pose_graph_g2o.rs). Every
+    loss must converge with a ManifoldPriorFactor anchoring the gauge."""
+    from apex_tpu.core import losses as L
+    from apex_tpu.factors.prior import ManifoldPriorFactor
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=48, rings=4, seed=21)
+    sweep = [
+        L.L2Loss(), L.HuberLoss(1.0), L.CauchyLoss(1.0),
+        L.FairLoss(1.3998), L.GemanMcClureLoss(1.0), L.WelschLoss(2.9846),
+        L.TukeyBiweightLoss(4.6851), L.TrimmedMeanLoss(2.0),
+        L.BarronGeneralLoss(-2.0, 1.0), L.TDistributionLoss(5.0),
+    ]
+    first = sorted(g.vertices_se3)[0]
+    anchor = np.asarray(g.vertices_se3[first])
+    for loss in sweep:
+        problem = g.to_problem(loss=loss)
+        problem.add_residual_block(
+            [f"x{first}"], ManifoldPriorFactor("SE3", anchor))
+        cfg = apx.LevenbergMarquardtConfig(max_iterations=40)
+        r = apx.LevenbergMarquardt(cfg).optimize(problem)
+        assert r.converged, (loss.kind, r.summary())
+        assert r.final_cost < 0.6 * r.initial_cost, (loss.kind, r.summary())
+
+
 def test_robust_loss_on_outlier_edges():
     g = synthetic.synthetic_pose_graph_2d(n_poses=80, trajectory="ring", seed=11)
     # corrupt 3 loop edges hard
