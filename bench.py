@@ -253,9 +253,11 @@ def bench_ba_ladybug(dtype):
     t0 = time.perf_counter()
     result = lm.optimize(cp)
     warm_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    result = lm.optimize(cp)
-    best = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):  # best-of-2: remote-tunnel warm variance is ~30%
+        t0 = time.perf_counter()
+        result = lm.optimize(cp)
+        best = min(best, time.perf_counter() - t0)
     r0 = rmse(result.initial_cost, ds.num_observations)
     r1 = rmse(result.final_cost, ds.num_observations)
     _log(f"# ladybug-1723 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
@@ -293,9 +295,11 @@ def bench_ba_venice(dtype):
     t0 = time.perf_counter()
     result = lm.optimize(cp)
     warm_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    result = lm.optimize(cp)
-    best = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):  # best-of-2: remote-tunnel warm variance is ~30%
+        t0 = time.perf_counter()
+        result = lm.optimize(cp)
+        best = min(best, time.perf_counter() - t0)
     r0 = rmse(result.initial_cost, ds.num_observations)
     r1 = rmse(result.final_cost, ds.num_observations)
     _log(f"# venice-1778 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
