@@ -152,7 +152,10 @@ def test_per_chip_memory_partitions(mesh):
 
     step, shard_args = make_sharded_schur_step(cp, mesh)
     assert hasattr(step, "solve")
-    txt = step._solve_jit.lower(values, damping, *shard_args).compile().as_text()
+    txt = step._solve_jit.lower(
+        values, damping, jnp.asarray(-1, jnp.int32),
+        jnp.zeros((cp.total_dof,), cp.dtype), *shard_args,
+    ).compile().as_text()
 
     P_total = sum(m.n for m in step.metas if m.cap)
     # round-2 layout must be gone: no [P, 3, 3] landmark blocks at all
