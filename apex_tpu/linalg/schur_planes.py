@@ -483,13 +483,20 @@ class UniformSchur:
             Wp = Wps[ug.gi]
             # ROW gather [K, De]: contiguous 9-float rows stream at memory
             # speed; the lane-major gather xe.T[:, ids] re-walks the table
-            # per lane and measured 4x slower at venice scale (247 ms vs
-            # 60 ms for this whole product). The barrier stops XLA from
-            # re-fusing the gather into all De*3 plane consumers.
+            # per lane and measured 4x slower at venice scale. The barrier
+            # stops XLA from re-fusing the gather into the plane consumers.
             xg = jax.lax.optimization_barrier(xe[ug.ent_ids])
+            # ONE einsum for all De*3 terms: the hand-written per-(i,j)
+            # multiply-add chain made XLA walk W and xg once per output
+            # plane; the fused contraction over De reads each exactly once
+            # (measured 44.4 -> 20.7 ms for this product at 5M obs, f32).
+            Kg = Wp.shape[-1]
+            planes = jnp.einsum(
+                "djk,kd->jk", Wp.reshape(De, 3, Kg), xg,
+                precision=jax.lax.Precision.HIGHEST)
             for j in range(3):
-                plane = sum(Wp[i * 3 + j] * xg[:, i] for i in range(De))
-                t = t.at[j, ug.lo:ug.lo + ug.n].add(self._lm_reduce(ug, plane))
+                t = t.at[j, ug.lo:ug.lo + ug.n].add(
+                    self._lm_reduce(ug, planes[j]))
         return t
 
     def w_u(self, Wps, u3):
