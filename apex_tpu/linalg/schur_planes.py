@@ -237,14 +237,16 @@ class UniformSchur:
     ONEHOT_CHUNK = 8192
     ONEHOT_MIN_K = 1 << 17
 
-    def _ent_planes_segsum(self, ug: _UGroup, planes):
-        """list of n [K] planes -> [E, n] entity sums, chunked over K."""
+    def _ent_planes_segsum(self, ug: _UGroup, planes, exact=False):
+        """list of n [K] planes -> [E, n] entity sums, chunked over K.
+        ``exact`` requests f32-faithful accumulation on the one-hot MXU
+        path (hi/lo split); the segment-sum paths are exact already."""
         E = self.ctx.num_entities
         n = len(planes)
         K = int(planes[0].shape[0])
         if (K >= self.ONEHOT_MIN_K and E <= self.ONEHOT_MAX_E
                 and jax.default_backend() == "tpu"):
-            return self._onehot_segsum(ug, planes)
+            return self._onehot_segsum(ug, planes, exact=exact)
         C = self.ENT_CHUNK
         if K <= C:
             return jax.ops.segment_sum(
@@ -263,16 +265,25 @@ class UniformSchur:
         acc0 = jnp.zeros((E + 1, n), dtype=planes[0].dtype)
         return jax.lax.fori_loop(0, nc, body, acc0)[:E]
 
-    def _onehot_segsum(self, ug: _UGroup, planes):
+    def _onehot_segsum(self, ug: _UGroup, planes, exact=False):
         """Entity segment-sum as a chunked one-hot MXU contraction:
         out[e, i] = sum_k [ids[k] == e] * planes[i][k]. The random-access
         scatter-add becomes per-chunk (one_hot[C, E+1])^T @ planes[n, C]^T
         dots — every memory access is sequential and the reduction rides
-        the MXU. Exact (the one-hot operand is 0/1; accumulation stays in
-        the plane dtype). The [n, K] stack keeps K in the lane dimension
-        (a [K, n] layout would tile-pad n -> 128 lanes, 14x HBM at BA
-        scale), and fori_loop + dynamic_slice avoids scan's materialized
-        xs operand."""
+        the MXU. The [n, K] stack keeps K in the lane dimension (a [K, n]
+        layout would tile-pad n -> 128 lanes, 14x HBM at BA scale), and
+        fori_loop + dynamic_slice avoids scan's materialized xs operand.
+
+        Precision: the TPU MXU truncates f32 operands to bf16 (measured
+        2.3e-3 max relative error vs an exact f64 sum at venice scale; the
+        per-op Precision flag is IGNORED by the current libtpu — HIGH and
+        HIGHEST return the same bf16-level error, and forcing a global
+        default crashes it, see commit bd49e71). ``exact=True`` splits the
+        values into hi/lo bf16-representable halves and runs two dot
+        products with exactly-representable operands (error ~2^-18,
+        ~500x tighter, 2x the matmul time) — used for the once-per-LM-
+        iteration H/g ASSEMBLY sums; the per-PCG-iteration products keep
+        the single pass (PCG tolerance is orders above 2.3e-3)."""
         E = self.ctx.num_entities
         n = len(planes)
         K = int(planes[0].shape[0])
@@ -284,18 +295,26 @@ class UniformSchur:
         if Kp > K:
             arr = jnp.pad(arr, ((0, 0), (0, Kp - K)))
         ids = jnp.pad(ug.ent_ids, (0, Kp - K), constant_values=E)
+        split = exact and dt == jnp.float32
+        if split:
+            hi = arr.astype(jnp.bfloat16).astype(jnp.float32)
+            arr = jnp.concatenate([hi, arr - hi], axis=0)  # [2n, K]
 
         def body(i, acc):
-            sl = jax.lax.dynamic_slice(arr, (0, i * C), (n, C))  # [n, C]
+            sl = jax.lax.dynamic_slice(
+                arr, (0, i * C), (2 * n if split else n, C))
             ii = jax.lax.dynamic_slice(ids, (i * C,), (C,))
             oh = (ii[:, None] == jax.lax.broadcasted_iota(
                 jnp.int32, (C, E + 1), 1)).astype(dt)  # [C, E+1]
             return acc + jax.lax.dot_general(
                 oh, sl, (((0,), (1,)), ((), ())),
-                preferred_element_type=dt)  # [E+1, n]
+                preferred_element_type=dt)  # [E+1, n or 2n]
 
-        acc0 = jnp.zeros((E + 1, n), dtype=dt)
-        return jax.lax.fori_loop(0, nc, body, acc0)[:E]
+        acc0 = jnp.zeros((E + 1, 2 * n if split else n), dtype=dt)
+        out = jax.lax.fori_loop(0, nc, body, acc0)[:E]
+        if split:
+            out = out[:, :n] + out[:, n:]
+        return out
 
     def _lm_reduce(self, ug: _UGroup, plane):
         """[K] plane -> [n] sums over each landmark's cap-run.
@@ -405,7 +424,7 @@ class UniformSchur:
                 ]
                 if kinds[s] == "cam":
                     l0 = ug.cam_locs[s]
-                    gsum = self._ent_planes_segsum(ug, gs)  # [E, ds]
+                    gsum = self._ent_planes_segsum(ug, gs, exact=True)  # [E, ds]
                     gc = gc.at[:, l0:l0 + dof_s].add(gsum)
                 else:
                     for i in range(3):
@@ -425,7 +444,7 @@ class UniformSchur:
                             sum(Jp[s][d, i] * Jp[t][d, j] for d in range(rd))
                             for i in range(ds_) for j in range(dt_)
                         ]
-                        Hsum = self._ent_planes_segsum(ug, planes)
+                        Hsum = self._ent_planes_segsum(ug, planes, exact=True)
                         ls0, lt0 = ug.cam_locs[s], ug.cam_locs[t]
                         Hcc = Hcc.at[:, ls0:ls0 + ds_, lt0:lt0 + dt_].add(
                             Hsum.reshape(E, ds_, dt_))

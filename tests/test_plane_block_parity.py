@@ -75,6 +75,16 @@ def test_onehot_segsum_matches_scatter(ba_dataset, monkeypatch):
         got = uni._onehot_segsum(ug, planes)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-12, atol=1e-12)
+        # the exact (hi/lo split) variant used by H/g assembly: same
+        # result (the split recombines losslessly wherever the matmul
+        # itself is exact; on TPU it bounds the bf16 truncation instead)
+        planes32 = [p.astype(jnp.float32) for p in planes]
+        want32 = jax.ops.segment_sum(
+            jnp.stack(planes32, axis=1), ug.ent_ids,
+            num_segments=ctx.num_entities)
+        got32 = uni._onehot_segsum(ug, planes32, exact=True)
+        np.testing.assert_allclose(np.asarray(got32), np.asarray(want32),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_flat_layout_end_to_end_matches(ba_dataset, monkeypatch):
