@@ -117,6 +117,31 @@ def test_dogleg_sparse_qr():
     assert r.final_cost < 0.1 * r.initial_cost
 
 
+def test_sparse_qr_rides_rcm_ordering():
+    """sparse_qr over a shuffled-name graph with ordering="auto": the RCM
+    band recovery serves the QR tier exactly like the Cholesky tier."""
+    from apex_tpu.core.problem import Problem
+    from apex_tpu.factors.between import BetweenFactor
+
+    n = 120
+    g = synthetic.synthetic_pose_graph_3d(n_poses=n, rings=6, seed=3)
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(n)
+    p = Problem()
+    names = {vid: f"x{perm[vid]:05d}" for vid in range(n)}
+    for vid in sorted(g.vertices_se3):
+        p.add_variable(names[vid], "SE3", g.vertices_se3[vid])
+    for e in g.edges_se3:
+        p.add_residual_block([names[e.frm], names[e.to]],
+                             BetweenFactor("SE3", e.measurement))
+    cp = p.compile(ordering="auto", dtype=np.float64)
+    cfg = apx.LevenbergMarquardtConfig(
+        linear_solver_type="sparse_qr", max_iterations=40, mode="jit")
+    r = apx.LevenbergMarquardt(cfg).optimize(cp)
+    assert r.converged, r.summary()
+    assert r.final_cost < 0.05 * r.initial_cost
+
+
 def test_lm_sparse_qr_jit_mode():
     g = synthetic.synthetic_pose_graph_3d(n_poses=40, rings=4, seed=5)
     cp = g.to_problem().compile(dtype=np.float64)
