@@ -231,3 +231,26 @@ def test_covariance_estimation():
     # uncertainty should grow with graph distance from the fixed anchor
     tr = [np.trace(result.covariances[f"x{i}"]) for i in range(1, 10)]
     assert tr[-1] > tr[0]
+
+
+def test_banded_selective_covariance_matches_dense():
+    """compute_covariances_for rides the banded CR solve above 4096 DOF
+    (no dense [D, D] H); its blocks must match the dense-inverse path.
+    Exercised at 700 SE3 poses (D = 4200) where both still fit."""
+    from apex_tpu.core.covariance import (_banded_covariances_for,
+                                          compute_covariances,
+                                          compute_covariances_for)
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=700, rings=10, seed=7)
+    problem = g.to_problem(fix_first=True)
+    cp = problem.compile(dtype=np.float64)
+    vals = cp.initial_values()
+    names = [list(cp.var_loc.keys())[i] for i in (1, 350, 699)]
+    sel = compute_covariances_for(cp, vals, names)  # banded path (D=4200)
+    dense = compute_covariances(cp, vals, names=names)
+    for n in names:
+        np.testing.assert_allclose(sel[n], dense[n], rtol=1e-7, atol=1e-10)
+    # the fixed anchor has zero covariance on both paths
+    anchor = list(cp.var_loc.keys())[0]
+    pinned = _banded_covariances_for(cp, vals, [anchor])[anchor]
+    np.testing.assert_allclose(pinned, 0.0, atol=1e-12)
