@@ -142,6 +142,16 @@ def test_sparse_qr_rides_rcm_ordering():
     assert r.final_cost < 0.05 * r.initial_cost
 
 
+def test_gauss_newton_sparse_qr():
+    g = synthetic.synthetic_pose_graph_2d(n_poses=40, loop_stride=4, seed=13)
+    cp = g.to_problem(fix_first=True).compile(dtype=np.float64)
+    cfg = apx.GaussNewtonConfig(linear_solver_type="sparse_qr",
+                                max_iterations=25)
+    r = apx.GaussNewton(cfg).optimize(cp)
+    assert r.converged, r.summary()
+    assert r.final_cost < 0.1 * r.initial_cost
+
+
 def test_lm_sparse_qr_jit_mode():
     g = synthetic.synthetic_pose_graph_3d(n_poses=40, rings=4, seed=5)
     cp = g.to_problem().compile(dtype=np.float64)
