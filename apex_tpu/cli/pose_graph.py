@@ -41,6 +41,12 @@ def build_parser():
     )
     p.add_argument("--loss", default="none", help="robust loss by name (or 'none')")
     p.add_argument("--loss-scale", type=float, default=None, help="loss scale parameter")
+    p.add_argument(
+        "--linear-solver", default="sparse_cholesky",
+        choices=["sparse_cholesky", "sparse_qr", "sparse_general",
+                 "dense_cholesky", "dense_qr", "pcg"],
+        help="linear solver tier (sparse_* ride the RCM band / general-"
+             "sparsity elimination; dense tiers for small problems)")
     p.add_argument("--max-iterations", type=int, default=100)
     p.add_argument("--cost-tolerance", type=float, default=1e-4)
     p.add_argument("--fix-first", action="store_true", help="fix the first vertex")
@@ -113,6 +119,7 @@ def make_solver(kind, args):
     if kind == "lm":
         return apx.LevenbergMarquardt(
             apx.LevenbergMarquardtConfig(
+                linear_solver_type=args.linear_solver,
                 max_iterations=args.max_iterations,
                 cost_tolerance=args.cost_tolerance,
                 mode=mode,
@@ -122,14 +129,19 @@ def make_solver(kind, args):
     if kind == "gn":
         return apx.GaussNewton(
             apx.GaussNewtonConfig(
+                linear_solver_type=args.linear_solver,
                 max_iterations=args.max_iterations,
                 cost_tolerance=args.cost_tolerance,
                 mode=mode,
                 verbose=args.verbose,
             )
         )
+    dl_solver = args.linear_solver
+    if dl_solver in ("sparse_general", "pcg"):  # not in DogLeg's menu
+        dl_solver = "sparse_cholesky"
     return apx.DogLeg(
         apx.DogLegConfig(
+            linear_solver_type=dl_solver,
             max_iterations=args.max_iterations,
             cost_tolerance=args.cost_tolerance,
             mode=mode,
