@@ -220,6 +220,12 @@ class UniformSchur:
     def _allreduce(self, x):
         return x
 
+    def _pvary(self, x):
+        """Mark a replicated value as device-varying (shard_map loop
+        carries must match the varying type of the sharded body output;
+        identity on one chip)."""
+        return x
+
     # -- helpers ----------------------------------------------------------
 
     # rows per chunk when reducing wide [K, n] stacks to entities: the
@@ -536,6 +542,95 @@ class UniformSchur:
             y = y + self._ent_planes_segsum(ug, ys)
         return self._allreduce(y).reshape(-1)
 
+    # Chunk width for the fused S-apply: a multiple of every group's cap
+    # (caps are powers of two <= this) so no landmark run straddles a
+    # chunk, and wide enough that the per-chunk one-hot dots amortize.
+    SAPPLY_CHUNK = 8192
+
+    def make_fused_apply_S(self, Hcc, hinv6, Wps):
+        """Return ``x -> S x`` with the coupling term ``W Hpp^-1 W^T x``
+        evaluated in ONE chunked pass per factor group.
+
+        The composed form (wt_x -> sym6_matvec -> w_u) round-trips
+        [K]-sized intermediates through HBM four times per PCG iteration
+        (the gathered camera rows, the W^T x planes, the expanded
+        landmark update, and the pre-reduction ys planes) and pays a
+        separate row-gather pass (measured 15.2 ms at venice scale, vs
+        9.7 ms for the same gather as a transposed one-hot MXU
+        contraction). Because the bucketed layout keeps each landmark's
+        cap-run contiguous and cap divides the chunk width, a chunk is
+        CLOSED under the whole middle product: gather -> W^T x ->
+        run-reduce -> Hpp^-1 -> expand -> W u -> entity reduce all
+        happen on the chunk's [*, C] planes, with exactly two MXU
+        contractions against the same per-chunk one-hot (entity gather
+        in, entity segment-sum out) and no [K]-sized HBM intermediates.
+        Measured at venice scale (K=6.5M, f32): 46 -> ~24 ms per PCG
+        iteration vs the composed products.
+
+        Precision: the one-hot entries are exact 0/1 but the TPU MXU
+        truncates the gathered/reduced VALUES to bf16 (same tolerance as
+        the composed path's one-hot segment-sum, doc/performance.md); the
+        exact row-gather wt_x remains in use for the once-per-step
+        back-substitution. ``APEX_TPU_FUSED_SAPPLY=0`` restores the
+        composed products inside PCG too."""
+        ctx = self.ctx
+        E, De = ctx.num_entities, ctx.entity_dof
+        dt = Hcc.dtype
+        preps = []
+        for ug in self.ugroups:
+            if ug.lm_slot is None:
+                continue
+            Wp = Wps[ug.gi]
+            K = int(Wp.shape[-1])
+            cap = ug.cap
+            C = self.SAPPLY_CHUNK if self.SAPPLY_CHUNK % cap == 0 else cap
+            nc = -(-K // C)
+            Kp = nc * C
+            Wpad = jnp.pad(Wp, ((0, 0), (0, Kp - K))) if Kp > K else Wp
+            idsp = (jnp.pad(ug.ent_ids, (0, Kp - K), constant_values=E)
+                    if Kp > K else ug.ent_ids)
+            hseg = hinv6[:, ug.lo:ug.lo + ug.n]
+            npad = Kp // cap
+            if npad > ug.n:
+                hseg = jnp.pad(hseg, ((0, 0), (0, npad - ug.n)))
+            preps.append((ug.cap, C, nc, Wpad, idsp, hseg))
+
+        def apply(x):
+            xe = x.reshape(E, De)
+            xT = jnp.pad(xe, ((0, 1), (0, 0))).T  # [De, E+1]
+            yT = jnp.zeros((De, E + 1), dtype=dt)
+            for cap, C, nc, Wpad, idsp, hseg in preps:
+                R = C // cap
+
+                def body(i, acc, Wpad=Wpad, idsp=idsp, hseg=hseg,
+                         cap=cap, C=C, R=R):
+                    Wc = jax.lax.dynamic_slice(
+                        Wpad, (0, i * C), (De * 3, C)).reshape(De, 3, C)
+                    ii = jax.lax.dynamic_slice(idsp, (i * C,), (C,))
+                    oh = (jax.lax.broadcasted_iota(jnp.int32, (E + 1, C), 0)
+                          == ii[None, :]).astype(dt)
+                    xgT = jax.lax.dot_general(
+                        xT, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=dt)  # [De, C]
+                    t3 = jnp.einsum("djc,dc->jc", Wc, xgT,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    t3r = t3.reshape(3, R, cap).sum(-1)
+                    h6c = jax.lax.dynamic_slice(hseg, (0, i * R), (6, R))
+                    u3r = sym6_matvec(h6c, t3r)  # [3, R]
+                    u3 = jnp.broadcast_to(
+                        u3r[:, :, None], (3, R, cap)).reshape(3, C)
+                    ys = jnp.einsum("ijc,jc->ic", Wc, u3,
+                                    precision=jax.lax.Precision.HIGHEST)
+                    return acc + jax.lax.dot_general(
+                        ys, oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=dt)  # [De, E+1]
+
+                yT = jax.lax.fori_loop(0, nc, body, self._pvary(yT))
+            y = self._allreduce(yT[:, :E].T.reshape(-1))
+            return self.ctx._hcc_matvec(Hcc, x) - y
+
+        return apply
+
     def prec_blocks(self, Hcc, hinv6, Wps, schur_jacobi: bool):
         """Entity diagonal blocks of S, inverted (Schur-Jacobi)."""
         ctx = self.ctx
@@ -575,10 +670,15 @@ class UniformSchur:
         u_g = sym6_matvec(hinv6, gp3)  # [3, P]
         b = -gc + self.w_u(Wps, u_g)
 
-        def apply_S(x):
-            t = self.wt_x(Wps, x)
-            u = sym6_matvec(hinv6, t)
-            return ctx._hcc_matvec(Hcc, x) - self.w_u(Wps, u)
+        import os
+
+        if os.environ.get("APEX_TPU_FUSED_SAPPLY", "1") != "0":
+            apply_S = self.make_fused_apply_S(Hcc, hinv6, Wps)
+        else:
+            def apply_S(x):
+                t = self.wt_x(Wps, x)
+                u = sym6_matvec(hinv6, t)
+                return ctx._hcc_matvec(Hcc, x) - self.w_u(Wps, u)
 
         if ctx.preconditioner == "none":
             apply_M = lambda x: x  # noqa: E731

@@ -86,6 +86,9 @@ class ShardedUniformSchur(UniformSchur):
     def _allreduce(self, x):
         return jax.lax.psum(x, self._axis_name)
 
+    def _pvary(self, x):
+        return jax.lax.pvary(x, (self._axis_name,))
+
     def _finish(self, dxc, gc, dxp3, gp3):
         """All-gather the landmark partition: every chip scatter-adds its
         slices (fake-landmark entries are exactly zero) into a zeroed

@@ -105,3 +105,57 @@ def test_flat_layout_end_to_end_matches(ba_dataset, monkeypatch):
         costs[layout] = res.final_cost
         assert res.final_cost < res.initial_cost
     np.testing.assert_allclose(costs["flat"], costs["bucketed"], rtol=1e-10)
+
+
+def test_fused_sapply_matches_composed(ba_dataset):
+    """The fused chunk-local S-apply (one pass per group, two one-hot
+    MXU contractions per chunk) must match the composed products
+    (wt_x -> Hpp^-1 -> w_u) bit-tight in f64 — it is the default inside
+    PCG (APEX_TPU_FUSED_SAPPLY)."""
+    import jax.numpy as jnp
+
+    from apex_tpu.linalg.schur_planes import sym6_clamped_inv, sym6_matvec
+
+    cp = build_ba_problem(ba_dataset, mode="self_calibration").compile(
+        dtype=np.float64)
+    ctx = SchurContext(cp, variant="iterative",
+                       preconditioner="schur_jacobi")
+    uni = ctx.uniform
+    assert uni is not None
+    values = cp.initial_values()
+    Hcc, gc, hpp6, gp3, Wps, cost = uni.assemble(
+        values, jnp.asarray(1e-3, cp.dtype))
+    hinv6 = sym6_clamped_inv(hpp6)
+    fused = uni.make_fused_apply_S(Hcc, hinv6, Wps)
+
+    def composed(x):
+        t = uni.wt_x(Wps, x)
+        u = sym6_matvec(hinv6, t)
+        return ctx._hcc_matvec(Hcc, x) - uni.w_u(Wps, u)
+
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        x = jnp.asarray(rng.standard_normal(ctx.Dc))
+        a = np.asarray(fused(x))
+        b = np.asarray(composed(x))
+        np.testing.assert_allclose(a, b, rtol=1e-11, atol=1e-11 * np.abs(b).max())
+
+
+def test_fused_sapply_solve_parity(ba_dataset, monkeypatch):
+    """Full linear solve with the fused S-apply on vs off agrees (f64)."""
+    import jax.numpy as jnp
+
+    cp = build_ba_problem(ba_dataset, mode="self_calibration").compile(
+        dtype=np.float64)
+    outs = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("APEX_TPU_FUSED_SAPPLY", flag)
+        ctx = SchurContext(cp, variant="iterative", pcg_tolerance=1e-14,
+                           pcg_max_iterations=2000, pcg_forcing=False)
+        dx, g, cost, predicted = ctx.solve(
+            cp.initial_values(), damping=jnp.asarray(1e-3, cp.dtype))
+        outs[flag] = (np.asarray(dx), float(cost), float(predicted))
+    np.testing.assert_allclose(outs["1"][0], outs["0"][0],
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(outs["1"][1], outs["0"][1], rtol=1e-12)
+    np.testing.assert_allclose(outs["1"][2], outs["0"][2], rtol=1e-7)
