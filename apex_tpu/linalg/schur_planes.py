@@ -632,27 +632,61 @@ class UniformSchur:
         return apply
 
     def prec_blocks(self, Hcc, hinv6, Wps, schur_jacobi: bool):
-        """Entity diagonal blocks of S, inverted (Schur-Jacobi)."""
+        """Entity diagonal blocks of S, inverted (Schur-Jacobi).
+
+        Chunk-local like make_fused_apply_S: the composed form expanded
+        hinv to [K] planes and materialized the 27 Y and 81 Z correction
+        planes in HBM (several GB of transients at venice scale) before
+        one monolithic segment-sum; here each chunk computes Y, Z on its
+        own [*, C] planes and reduces through one one-hot MXU contraction
+        (n = De*De lanes). Measured at venice scale (6.5M obs, f32):
+        151 -> ~35 ms per preconditioner build."""
         ctx = self.ctx
         E, De = ctx.num_entities, ctx.entity_dof
-        corr = jnp.zeros((E, De, De), dtype=Hcc.dtype)
+        dt = Hcc.dtype
+        corrT = jnp.zeros((De * De, E + 1), dtype=dt)
         if schur_jacobi:
             for ug in self.ugroups:
                 if ug.lm_slot is None:
                     continue
                 Wp = Wps[ug.gi]
-                hg = [self._lm_expand(ug, hinv6[p, ug.lo:ug.lo + ug.n])
-                      for p in range(6)]  # 6 x [K]
-                # Y[i][j] = sum_m W[i,m] hinv[m,j]
-                Y = [[
-                    sum(Wp[i * 3 + m] * hg[SYM6[(m, j) if m <= j else (j, m)]]
-                        for m in range(3))
-                    for j in range(3)] for i in range(De)]
-                Z = [
-                    sum(Y[i][j] * Wp[l * 3 + j] for j in range(3))
-                    for i in range(De) for l in range(De)
-                ]
-                corr = corr + self._ent_planes_segsum(ug, Z).reshape(E, De, De)
+                K = int(Wp.shape[-1])
+                cap = ug.cap
+                C = self.SAPPLY_CHUNK if self.SAPPLY_CHUNK % cap == 0 else cap
+                nc = -(-K // C)
+                Kp = nc * C
+                Wpad = jnp.pad(Wp, ((0, 0), (0, Kp - K))) if Kp > K else Wp
+                idsp = (jnp.pad(ug.ent_ids, (0, Kp - K), constant_values=E)
+                        if Kp > K else ug.ent_ids)
+                hseg = hinv6[:, ug.lo:ug.lo + ug.n]
+                npad = Kp // cap
+                if npad > ug.n:
+                    hseg = jnp.pad(hseg, ((0, 0), (0, npad - ug.n)))
+                R = C // cap
+
+                def body(i, acc, Wpad=Wpad, idsp=idsp, hseg=hseg,
+                         cap=cap, C=C, R=R):
+                    Wc = jax.lax.dynamic_slice(Wpad, (0, i * C), (De * 3, C))
+                    ii = jax.lax.dynamic_slice(idsp, (i * C,), (C,))
+                    oh = (jax.lax.broadcasted_iota(jnp.int32, (E + 1, C), 0)
+                          == ii[None, :]).astype(dt)
+                    h6r = jax.lax.dynamic_slice(hseg, (0, i * R), (6, R))
+                    hg = jnp.broadcast_to(
+                        h6r[:, :, None], (6, R, cap)).reshape(6, C)
+                    Y = [[
+                        sum(Wc[i_ * 3 + m]
+                            * hg[SYM6[(m, j) if m <= j else (j, m)]]
+                            for m in range(3))
+                        for j in range(3)] for i_ in range(De)]
+                    Z = jnp.stack([
+                        sum(Y[i_][j] * Wc[l * 3 + j] for j in range(3))
+                        for i_ in range(De) for l in range(De)])  # [De*De, C]
+                    return acc + jax.lax.dot_general(
+                        Z, oh, (((1,), (1,)), ((), ())),
+                        preferred_element_type=dt)  # [De*De, E+1]
+
+                corrT = jax.lax.fori_loop(0, nc, body, self._pvary(corrT))
+        corr = corrT[:, :E].T.reshape(E, De, De)
         from .utils import spd_clamped_inv
 
         return spd_clamped_inv(Hcc - self._allreduce(corr))

@@ -68,6 +68,12 @@ def main():
     # once-per-LM-step phases
     out = timeit("assemble (Hcc,gc,hpp6,gp3,W,cost)",
                  lambda v: u.assemble(v, damping), values)
+    for ug in u.ugroups:
+        if ug.lm_slot is None:
+            continue
+        g = u._group(ug.gi)
+        timeit(f"  linearize_planes g{ug.gi} (K={g.count})",
+               lambda v, g=g: u._linearize_planes(v, g), values)
     Hcc, gc, hpp6, gp3, Wps, cost = out
     hinv6 = timeit("sym6_clamped_inv", sym6_clamped_inv, hpp6)
     timeit("prec_blocks (Schur-Jacobi)",
