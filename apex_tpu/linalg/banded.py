@@ -175,7 +175,7 @@ def _mm(a, b):
 
 def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                           stages: int = 5, refine: int = 1,
-                          base_blocks: int = 2,
+                          base_blocks: int | None = None,
                           recompute_l0: bool | None = None,
                           refine_rtol: float | None = None):
     """Core block-cyclic-reduction solve on block-tridiagonal storage:
@@ -198,9 +198,20 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
     during back-substitution from the level-0 inputs (function arguments,
     alive regardless). Costs ~30% more level-0 solve flops and nearly
     halves peak HBM. Default (None): on when the stash would exceed
-    128 MB."""
+    128 MB.
+
+    ``base_blocks``: stop eliminating when this many block rows remain and
+    solve them as ONE dense MXU Cholesky. Default (None) folds trailing
+    micro-levels so the dense core is ~1.5k DOF (<= 64 blocks): each CR
+    level below that size is a handful of launch-latency-bound micro-ops
+    while a 1.5k-DOF dense factorization is microseconds of MXU time —
+    the same trade `sparse_general` makes for its separator core. A
+    narrow-band m3500-scale solve drops from ~10 elimination levels to
+    ~4 this way."""
     n = -(-D // m)
     Dp = n * m
+    if base_blocks is None:
+        base_blocks = max(2, min(64, 1536 // m))
     if recompute_l0 is None:
         stash_bytes = 3 * (n // 2) * m * m * jnp.dtype(dtype).itemsize
         recompute_l0 = stash_bytes > 128 * 2**20
@@ -260,13 +271,16 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                 levels.append((L, U))
             Dg, Cg, bv = De, Ce, be
             level += 1
+        # Dense core: three batched scatters, not a per-block host loop
+        # (at base_blocks=64 the loop form emitted ~190 ops).
         nb = Dg.shape[0]
-        A = jnp.zeros((nb * m, nb * m), dtype)
-        for i in range(nb):
-            A = A.at[i * m:(i + 1) * m, i * m:(i + 1) * m].set(Dg[i])
-            if i:
-                A = A.at[i * m:(i + 1) * m, (i - 1) * m:i * m].set(Cg[i])
-                A = A.at[(i - 1) * m:i * m, i * m:(i + 1) * m].set(_bmt(Cg[i]))
+        idx = jnp.arange(nb)
+        A4 = jnp.zeros((nb, m, nb, m), dtype)
+        A4 = A4.at[idx, :, idx, :].set(Dg)
+        if nb > 1:
+            A4 = A4.at[idx[1:], :, idx[:-1], :].set(Cg[1:])
+            A4 = A4.at[idx[:-1], :, idx[1:], :].set(_bmt(Cg[1:]))
+        A = A4.reshape(nb * m, nb * m)
         cf = jax.scipy.linalg.cho_factor(A, lower=True)
         xe = jax.scipy.linalg.cho_solve(cf, bv.reshape(-1)).reshape(nb, m)
         for entry in reversed(levels):
