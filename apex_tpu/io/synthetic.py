@@ -98,11 +98,17 @@ def _synthetic_pose_graph_3d_impl(
     odom_noise_r: float = 0.01,
     info_weight: float = 100.0,
     seed: int = 0,
+    closure_strides: tuple = (1,),
 ) -> Graph:
     """SE3 pose graph shaped like the classic sphere2500: poses spiral over a
     sphere (``rings`` latitudes), odometry along the spiral plus loop-closure
     edges between vertically adjacent rings. Initialization integrates the
-    noisy odometry."""
+    noisy odometry.
+
+    ``closure_strides``: ring offsets that receive loop-closure edges.
+    The default (1,) is the sphere2500 density (~2 edges/vertex); (1, 2)
+    approximates denser survey graphs like cubicle (~3 edges/vertex,
+    benches/README.md:60-66) at the cost of doubling the band width."""
     from ..manifolds import SE3, so3
 
     rng = np.random.default_rng(seed)
@@ -126,8 +132,10 @@ def _synthetic_pose_graph_3d_impl(
     src = list(range(n_poses - 1))
     dst = list(range(1, n_poses))
     n_odom = len(src)
-    src += list(range(n_poses - per_ring))
-    dst += list(range(per_ring, n_poses))
+    for stride in closure_strides:
+        span = stride * per_ring
+        src += list(range(n_poses - span))
+        dst += list(range(span, n_poses))
     src = np.asarray(src)
     dst = np.asarray(dst)
 

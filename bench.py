@@ -4,7 +4,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 The four required keys carry the headline workload (sphere2500-class SE3
 pose graph); "extra" carries the rest of the ladder (SE2 M3500-scale,
 trafalgar-257 / dubrovnik-356 / ladybug-1723 / venice-1778 bundle
-adjustment, 50k-pose banded solve), each with its BASELINE.md ratio plus
+adjustment, torus3D- and cubicle-scale SE3 graphs, 50k-pose banded
+solve, grid3d general tier), each with its BASELINE.md ratio plus
 honesty fields: ``iters`` (LM iterations of the measured solve),
 ``s_per_iter`` (value/iters), and a ``note`` wherever the comparison
 needs a caveat (the 1-iteration BA rows, the capability rungs).
@@ -104,6 +105,34 @@ def bench_m3500(dtype, runs):
     ms, warm, res = _solve_pose_graph(g, dtype, runs, min_reduction=0.95)
     _log(f"# m3500: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
     return _row("m3500_synthetic_se2_lm_solve", ms, "ms", 103.5,
+                res.iterations)
+
+
+def bench_torus3d(dtype, runs):
+    """SE3 ladder rung: torus3D-scale graph (5,000 poses, ~9.9k edges vs
+    the real dataset's 9,048; band ~50 poses). Baseline 1,780.5 ms / 27
+    iters — the reference's slowest pose-graph row."""
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_3d(n_poses=5000, rings=100, seed=0)
+    ms, warm, res = _solve_pose_graph(g, dtype, runs, min_reduction=0.97)
+    _log(f"# torus3d: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
+    return _row("torus3d_synthetic_se3_lm_solve", ms, "ms", 1780.5,
+                res.iterations)
+
+
+def bench_cubicle(dtype, runs):
+    """SE3 ladder rung: cubicle-scale graph (5,750 poses, ~17.2k edges vs
+    the real dataset's 16,869 — the densest reference pose graph, ~3
+    edges/vertex via 2-ring closure strides). Baseline 512.0 ms / 5
+    iters."""
+    from apex_tpu.io import synthetic
+
+    g = synthetic.synthetic_pose_graph_3d(
+        n_poses=5750, rings=230, seed=0, closure_strides=(1, 2))
+    ms, warm, res = _solve_pose_graph(g, dtype, runs, min_reduction=0.97)
+    _log(f"# cubicle: {res.summary()} | warmup {warm:.1f}s best {ms:.1f}ms")
+    return _row("cubicle_synthetic_se3_lm_solve", ms, "ms", 512.0,
                 res.iterations)
 
 
@@ -341,6 +370,8 @@ def main():
         ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2)), 200),
         ("venice", lambda: bench_ba_venice(dtype), 700),
         ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
+        ("torus3d", lambda: bench_torus3d(dtype, runs), 90),
+        ("cubicle", lambda: bench_cubicle(dtype, runs), 90),
         ("pose50k", lambda: bench_50k(dtype), 330),
         ("grid3d", lambda: bench_grid3d(dtype), 180),
     ]
