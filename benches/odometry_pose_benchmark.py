@@ -27,7 +27,7 @@ SUITE = {
     "sphere2500": ("SE3", dict(n_poses=2500, rings=50)),
     "parking-garage": ("SE3", dict(n_poses=1661, rings=30)),
     "torus3D": ("SE3", dict(n_poses=5000, rings=50)),
-    "cubicle": ("SE3", dict(n_poses=5750, rings=40)),
+    "cubicle": ("SE3", dict(n_poses=5750, rings=230, closure_strides=(1, 2))),
 }
 
 # Reference wall times in ms (BASELINE.md, M4 Mac Mini).
