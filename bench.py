@@ -185,7 +185,14 @@ def bench_ba_trafalgar(dtype, runs):
     _log(f"# trafalgar-257 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px | "
          f"warmup {warm_s:.1f}s best {best:.2f}s")
     if not (r1 < 0.55 * r0):
-        raise RuntimeError(f"BA did not reduce RMSE enough: {r0:.3f}->{r1:.3f}")
+        # Emit the row with the ratio withheld instead of dropping it:
+        # a degraded-runtime quality miss should stay visible, not
+        # silently erase the rung (vs_baseline 0.0 by convention).
+        _log(f"# trafalgar-257 QUALITY GATE MISSED: {r0:.3f}->{r1:.3f}")
+        return _row("trafalgar257_synthetic_ba_solve", best, "s", None,
+                    result.iterations,
+                    note=f"quality gate missed (RMSE {r1:.3f} px, needed "
+                         f"<{0.55 * r0:.3f}): ratio withheld")
     return _row("trafalgar257_synthetic_ba_solve", best, "s", 10.39,
                 result.iterations,
                 note="stops at the reference's final RMSE (0.679 px); the "
@@ -225,7 +232,11 @@ def bench_ba_dubrovnik(dtype, runs):
     _log(f"# dubrovnik-356 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
          f"| best {best:.2f}s")
     if not (r1 < 0.60):
-        raise RuntimeError(f"BA did not reach target RMSE: {r0:.3f}->{r1:.3f}")
+        _log(f"# dubrovnik-356 QUALITY GATE MISSED: {r0:.3f}->{r1:.3f}")
+        return _row("dubrovnik356_synthetic_ba_solve", best, "s", None,
+                    result.iterations,
+                    note=f"quality gate missed (RMSE {r1:.3f} px, needed "
+                         "<0.60): ratio withheld")
     return _row("dubrovnik356_synthetic_ba_solve", best, "s", 47.16,
                 result.iterations,
                 note="stops at the reference's final RMSE (0.533 px; pixel "
@@ -334,7 +345,11 @@ def bench_ba_venice(dtype):
     _log(f"# venice-1778 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
          f"| cold {warm_s:.0f}s warm {best:.1f}s vs reference 83.17 s")
     if not (r1 < 0.70):
-        raise RuntimeError(f"venice did not reach noise floor: {r1:.3f}")
+        _log(f"# venice-1778 QUALITY GATE MISSED: RMSE {r1:.3f}")
+        return _row("venice1778_synthetic_ba_solve", best, "s", None,
+                    result.iterations,
+                    note=f"quality gate missed (RMSE {r1:.3f} px, needed "
+                         "<0.70 noise floor): ratio withheld")
     return _row("venice1778_synthetic_ba_solve", best, "s", 83.17,
                 result.iterations,
                 note="5-step converged-quality solve, inner PCG budget 15 "
