@@ -145,3 +145,28 @@ def test_expose_matrix_data_observer():
     lm.add_observer(MatObs())
     lm.optimize(cp)
     assert captured and captured[0] == ((60, 60), (60,))
+
+
+def test_synthetic_closure_strides():
+    """closure_strides adds one loop-closure family per ring offset
+    (bench.py cubicle rung density; default (1,) is sphere2500's)."""
+    base = synthetic.synthetic_pose_graph_3d(n_poses=200, rings=10, seed=0)
+    dense = synthetic.synthetic_pose_graph_3d(
+        n_poses=200, rings=10, seed=0, closure_strides=(1, 2))
+    per_ring = 20
+    assert len(base.edges_se3) == 199 + (200 - per_ring)
+    assert len(dense.edges_se3) == 199 + (200 - per_ring) + (200 - 2 * per_ring)
+    # stride-2 closures double the graph's pose bandwidth
+    span = max(abs(e.to - e.frm) for e in dense.edges_se3)
+    assert span == 2 * per_ring
+    # solvable: LM through the banded tier converges
+    import numpy as np
+
+    import apex_tpu as apx
+
+    cp = dense.to_problem().compile(dtype=np.float64)
+    cfg = apx.LevenbergMarquardtConfig(
+        mode="jit", max_iterations=50, cost_tolerance=1e-4,
+        linear_solver_type="sparse_cholesky", damping="auto")
+    r = apx.LevenbergMarquardt(cfg).optimize(cp)
+    assert r.converged and r.final_cost < 0.05 * r.initial_cost
