@@ -130,11 +130,26 @@ class DogLeg(LevenbergMarquardt):
                        "sparse_qr": "banded_qr"}.get(
             dl.linear_solver_type, dl.linear_solver_type
         )
+        if solver_type in ("schur_explicit", "schur_implicit", "schur",
+                           "schur_auto", "sparse_schur_complement",
+                           "iterative_schur"):
+            # The reference DogLeg routes every Schur config to its
+            # SparseCholeskySolver instead of erroring
+            # (dog_leg.rs:1379-1390); mirror that: banded tier, dense
+            # Cholesky when the pattern is panel-hostile (BA problems,
+            # where landmark-camera coupling makes the band the whole
+            # matrix — same guard the LM banded_qr path uses).
+            from ..linalg import banded as _banded
+
+            solver_type = ("banded_cholesky"
+                           if _banded.block_bandwidth(cp) <= 1536
+                           else "dense_cholesky")
         if solver_type not in ("dense_cholesky", "dense_qr",
                                "banded_cholesky", "banded_qr"):
             raise NotImplementedError(
                 "DogLeg supports dense_cholesky / dense_qr / "
-                "sparse_cholesky (banded) / sparse_qr (banded)"
+                "sparse_cholesky (banded) / sparse_qr (banded); Schur "
+                "types fall back to Cholesky like the reference"
             )
 
         # Hessian representation: dense [D, D], or block-tridiagonal

@@ -84,6 +84,30 @@ def test_dogleg_se3(graph):
     assert res.final_cost < 0.15 * res.initial_cost
 
 
+def test_dogleg_schur_type_falls_back_to_cholesky():
+    """Schur solver types route to a Cholesky tier instead of raising,
+    matching the reference DogLeg (dog_leg.rs:1379-1390 sends
+    SparseSchurComplement to SparseCholeskySolver). BA problems are
+    panel-hostile, so this exercises the dense-Cholesky fallback."""
+    from apex_tpu.ba import build_ba_problem
+
+    ds = synthetic.synthetic_ba(n_cameras=6, n_points=80, seed=3)
+    problem = build_ba_problem(ds)
+    ref = apx.DogLeg(apx.DogLegConfig(
+        linear_solver_type="dense_cholesky", max_iterations=100,
+    )).optimize(problem)
+    for solver in ("schur_implicit", "sparse_schur_complement"):
+        cfg = apx.DogLegConfig(linear_solver_type=solver, max_iterations=100)
+        res = apx.DogLeg(cfg).optimize(problem)
+        # config parity: same trajectory as the explicit Cholesky run
+        # (final costs agree to f32 rounding — the fallback may ride the
+        # banded-CR tier when the whole problem fits one band panel)
+        assert res.status == ref.status, (res.status, ref.status)
+        assert res.iterations == ref.iterations
+        np.testing.assert_allclose(res.final_cost, ref.final_cost, rtol=1e-5)
+    assert ref.final_cost < 0.1 * ref.initial_cost
+
+
 def test_gn_jit_mode(graph):
     cfg = apx.GaussNewtonConfig(mode="jit")
     res = apx.GaussNewton(cfg).optimize(graph.to_problem())
