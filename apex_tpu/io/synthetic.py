@@ -107,8 +107,9 @@ def _synthetic_pose_graph_3d_impl(
 
     ``closure_strides``: ring offsets that receive loop-closure edges.
     The default (1,) is the sphere2500 density (~2 edges/vertex); (1, 2)
-    approximates denser survey graphs like cubicle (~3 edges/vertex,
-    benches/README.md:60-66) at the cost of doubling the band width."""
+    approximates denser survey graphs like cubicle (~3 edges/vertex per
+    the reference benches/README.md pose-graph dataset list) at the cost
+    of doubling the band width."""
     from ..manifolds import SE3, so3
 
     rng = np.random.default_rng(seed)

@@ -177,7 +177,8 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                           stages: int = 5, refine: int = 1,
                           base_blocks: int | None = None,
                           recompute_l0: bool | None = None,
-                          refine_rtol: float | None = None):
+                          refine_rtol: float | None = None,
+                          residual_dtype=None):
     """Core block-cyclic-reduction solve on block-tridiagonal storage:
     returns solve_blocks(Dg [n,m,m], Cg [n,m,m] (Cg[i] = A[i, i-1], Cg[0]
     zero), b [n,m], damping) -> x [n*m] solving (A + damping I) x = b, with
@@ -313,12 +314,22 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
         trace_d = jnp.sum(diag) / D + damp
         eye = jnp.eye(m, dtype=dtype)[None]
 
+        rdt = jnp.dtype(residual_dtype) if residual_dtype is not None \
+            else jnp.dtype(dtype)
+
         def _residual(Dgs, x):
-            xb = x.reshape(n, m)
-            hx = (_mm(Dgs, xb[:, :, None]))[..., 0]
-            hx = hx.at[1:].add((_mm(Cg[1:], xb[:-1, :, None]))[..., 0])
-            hx = hx.at[:-1].add((_mm(_bmt(Cg[1:]), xb[1:, :, None]))[..., 0])
-            return bp - hx
+            # Iterative refinement is forward-error-limited by the residual's
+            # accuracy: computed in working precision, b - A x cancels to
+            # rounding noise once x is ~kappa*eps accurate, and refinement
+            # stalls there. ``residual_dtype`` (classic mixed-precision IR)
+            # computes it in extended precision; the correction still solves
+            # through the working-precision factorization.
+            xb = x.reshape(n, m).astype(rdt)
+            Dr, Cr, br = Dgs.astype(rdt), Cg.astype(rdt), bp.astype(rdt)
+            hx = (_mm(Dr, xb[:, :, None]))[..., 0]
+            hx = hx.at[1:].add((_mm(Cr[1:], xb[:-1, :, None]))[..., 0])
+            hx = hx.at[:-1].add((_mm(_bmt(Cr[1:]), xb[1:, :, None]))[..., 0])
+            return (br - hx).astype(dtype)
 
         def attempt(shift):
             Dgs = Dg0 + shift * eye
@@ -364,7 +375,9 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
 
 def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
                             base_reg: float = 1e-10, stages: int = 5,
-                            refine: int = 1):
+                            refine: int = 1, base_blocks: int | None = None,
+                            residual_dtype=None,
+                            refine_rtol: float | None = None):
     """Dense-H front end for make_blocktri_cr_core: solve(H, g, damping)
     extracts the block-tridiagonal band of H and runs cyclic reduction."""
     m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
@@ -373,7 +386,10 @@ def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
     n = -(-D // m)
     Dp = n * m
     pad = Dp - D
-    core = make_blocktri_cr_core(D, m, dtype, base_reg, stages, refine)
+    core = make_blocktri_cr_core(D, m, dtype, base_reg, stages, refine,
+                                 base_blocks=base_blocks,
+                                 residual_dtype=residual_dtype,
+                                 refine_rtol=refine_rtol)
     idx = jnp.arange(n)
 
     def solve(H, g, damping=None):

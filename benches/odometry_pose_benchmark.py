@@ -26,7 +26,7 @@ SUITE = {
     "mit": ("SE2", dict(n_poses=808, trajectory="manhattan", loop_stride=40)),
     "sphere2500": ("SE3", dict(n_poses=2500, rings=50)),
     "parking-garage": ("SE3", dict(n_poses=1661, rings=30)),
-    "torus3D": ("SE3", dict(n_poses=5000, rings=50)),
+    "torus3D": ("SE3", dict(n_poses=5000, rings=100)),  # matches bench.py rung (9,949 edges)
     "cubicle": ("SE3", dict(n_poses=5750, rings=230, closure_strides=(1, 2))),
 }
 
