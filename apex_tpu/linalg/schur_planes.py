@@ -303,7 +303,15 @@ class UniformSchur:
         ids = jnp.pad(ug.ent_ids, (0, Kp - K), constant_values=E)
         split = exact and dt == jnp.float32
         if split:
-            hi = arr.astype(jnp.bfloat16).astype(jnp.float32)
+            # mask-based bf16 rounding (banded._bf16_trunc), NOT
+            # astype(bf16).astype(f32): XLA folds convert chains feeding a
+            # default-precision dot back to the unsplit operand, which
+            # would silently cancel the hi/lo correction (measured on TPU:
+            # a convert-form split returns bit-identical error to a plain
+            # default matmul — see banded._bf16_trunc docstring).
+            from .banded import _bf16_trunc
+
+            hi = _bf16_trunc(arr)
             arr = jnp.concatenate([hi, arr - hi], axis=0)  # [2n, K]
 
         def body(i, acc):

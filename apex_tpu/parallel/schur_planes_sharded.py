@@ -87,7 +87,17 @@ class ShardedUniformSchur(UniformSchur):
         return jax.lax.psum(x, self._axis_name)
 
     def _pvary(self, x):
-        return jax.lax.pvary(x, (self._axis_name,))
+        # Idempotent: pvary raises on an already-variant input, and whether
+        # a value (e.g. prec_blocks' corrT accumulator) is device-variant
+        # here depends on which chunking path the problem SHAPE selected —
+        # the one-hot preconditioner path feeds it shard-local planes
+        # (variant), the small-shape path replicated ones (invariant).
+        def f(leaf):
+            if self._axis_name in getattr(jax.typeof(leaf), "vma", ()):
+                return leaf
+            return jax.lax.pvary(leaf, (self._axis_name,))
+
+        return jax.tree_util.tree_map(f, x)
 
     def _finish(self, dxc, gc, dxp3, gp3):
         """All-gather the landmark partition: every chip scatter-adds its

@@ -25,7 +25,8 @@ SUITE = {
     "M3500": ("SE2", dict(n_poses=3500, trajectory="manhattan", loop_stride=12)),
     "mit": ("SE2", dict(n_poses=808, trajectory="manhattan", loop_stride=40)),
     "sphere2500": ("SE3", dict(n_poses=2500, rings=50)),
-    "parking-garage": ("SE3", dict(n_poses=1661, rings=30)),
+    "parking-garage": ("SE3", dict(n_poses=1661, rings=30,
+                                   closure_strides=(1, 2, 3))),  # 6,313 edges ~ real 6,275
     "torus3D": ("SE3", dict(n_poses=5000, rings=100)),  # matches bench.py rung (9,949 edges)
     "cubicle": ("SE3", dict(n_poses=5750, rings=230, closure_strides=(1, 2))),
 }
@@ -58,9 +59,18 @@ def main():
     ap.add_argument("--optimizer", default="lm", choices=["lm", "gn", "dl"])
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--platform", default=None,
+                    help="force jax platform (cpu/tpu); small SE2 graphs are "
+                         "latency-bound on a remote-tunnel TPU, so committed "
+                         "artifacts record the platform used")
     args = ap.parse_args()
 
     import numpy as np
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import apex_tpu as apx
 
@@ -86,6 +96,7 @@ def main():
         rows.append(dict(
             dataset=name, source=source, vertices=g.num_vertices,
             edges=g.num_edges, optimizer=args.optimizer, dtype=args.dtype,
+            platform=args.platform or "default",
             status=result.status.name, iterations=result.iterations,
             initial_cost=result.initial_cost, final_cost=result.final_cost,
             time_ms=round(ms, 2), baseline_ms=BASELINE_MS.get(name),
