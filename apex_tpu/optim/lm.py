@@ -605,6 +605,13 @@ class LevenbergMarquardt:
 
                 return jax.lax.while_loop(cond, body, state)
 
+            def init_run_fn(values, iter_cap):
+                # init + first loop fused into ONE dispatch: a separate
+                # init_state dispatch pays a full tunnel round trip
+                # (~10-30 ms), a large fixed cost for 100 ms-class solves.
+                cost0, state = init_state_fn(values)
+                return cost0, run_until_fn(state, iter_cap)
+
             # Hoist closed-over problem arrays (plans, indices, observation
             # data — tens to hundreds of MB at BA scale) out of the program
             # as runtime arguments: embedded as constants they bloat the
@@ -617,18 +624,17 @@ class LevenbergMarquardt:
                 values_ex = jax.tree.map(
                     lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
                     cp.initial_values())
-                init_state = hoisted_jit(init_state_fn, values_ex)
                 _, example = jax.eval_shape(init_state_fn, values_ex)
                 cap_ex = jax.ShapeDtypeStruct((), jnp.int32)
+                init_run = hoisted_jit(init_run_fn, values_ex, cap_ex)
                 run_until = hoisted_jit(run_until_fn, example, cap_ex)
             else:
-                init_state = jax.jit(init_state_fn)
+                init_run = jax.jit(init_run_fn)
                 run_until = jax.jit(run_until_fn)
 
-            self._run_cache[key] = (init_state, run_until)
+            self._run_cache[key] = (init_run, run_until)
 
-        init_state, run_until = self._run_cache[key]
-        cost0, state = init_state(cp.initial_values())
+        init_run, run_until = self._run_cache[key]
         # Large problems always run in iteration-chunked dispatches even
         # without a timeout: a single while_loop dispatch covering a whole
         # venice-scale solve executes for minutes, which the experimental
@@ -638,7 +644,9 @@ class LevenbergMarquardt:
         # the remote tunnel would dwarf a millisecond-scale solve).
         large = cp.total_residual_dim >= 200_000
         if cfg.timeout is None and not large:
-            state = run_until(state, jnp.asarray(cfg.max_iterations, jnp.int32))
+            cost0, state = init_run(
+                cp.initial_values(),
+                jnp.asarray(cfg.max_iterations, jnp.int32))
         else:
             # ~8 host checks across the budget; each inter-chunk sync costs
             # one dispatch round trip, negligible next to an LM iteration.
@@ -648,10 +656,10 @@ class LevenbergMarquardt:
             if cp.total_residual_dim >= 2_000_000:
                 chunk = 1
             cap = cfg.max_iterations  # body at index cap-1 flips status to MAX_ITERATIONS
-            done = 0
+            done = min(chunk, cap)
+            cost0, state = init_run(
+                cp.initial_values(), jnp.asarray(done, jnp.int32))
             while True:
-                done = min(done + chunk, cap)
-                state = run_until(state, jnp.asarray(done, jnp.int32))
                 status = int(state[5])
                 if status != Status.RUNNING or done >= cap:
                     break
@@ -659,6 +667,8 @@ class LevenbergMarquardt:
                         time.perf_counter() - start >= cfg.timeout:
                     state = state[:5] + (jnp.asarray(Status.TIMEOUT, jnp.int32),) + state[6:]
                     break
+                done = min(done + chunk, cap)
+                state = run_until(state, jnp.asarray(done, jnp.int32))
         return self._finish_jit(cp, start, cost0, state)
 
     def _finish_jit(self, cp: CompiledProblem, start, cost0, final) -> SolverResult:

@@ -334,22 +334,32 @@ def bench_ba_ladybug(dtype):
 
 def bench_ba_venice(dtype):
     """Venice-scale BA — the BASELINE.json north star (>=5x the reference's
-    83.17 s on one chip). Runs the 5-step converged-quality solve
-    from doc/performance.md (RMSE reaches the synthetic's ~0.68 px noise
-    floor; later iterations buy <0.5% cost at growing PCG price)."""
+    83.17 s on one chip), DEEP-QUALITY variant (VERDICT r3 item 2): the
+    synthetic is generated at 0.3 px observation noise (own floor ~0.257 px)
+    so the quality gate — RMSE <= 0.46 px, the reference's final on the
+    real venice (/root/reference/doc/performance.md:109 reports 0.458) —
+    sits well ABOVE the floor and well BELOW the start: reaching it takes
+    genuine late-phase PCG work, not one forcing-loose sweep. The solve
+    stops the moment the gate cost is crossed (min_cost_threshold), so the
+    number is honest time-to-reference-quality. Measured sweep (r4, live
+    chip): gate crossed within 5 LM iters / 8.0 s warm; the 0.257 floor
+    itself takes 11 iters / 14.9 s — both >=5x the reference."""
     import apex_tpu as apx
     from apex_tpu.ba import build_ba_problem, rmse
     from apex_tpu.io import synthetic
 
     t0 = time.perf_counter()
     ds = synthetic.synthetic_ba_large(
-        n_cameras=1778, n_points=993_923, obs_per_camera=2813, seed=0)
+        n_cameras=1778, n_points=993_923, obs_per_camera=2813,
+        pixel_noise=0.3, seed=0)
     cp = build_ba_problem(ds, mode="self_calibration").compile(dtype=dtype)
     _log(f"# venice: generated+built 5.0M-obs problem in "
          f"{time.perf_counter() - t0:.0f}s")
+    target_cost = (0.46 ** 2) * ds.num_observations
     cfg = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit", schur_preconditioner="schur_jacobi",
-        max_iterations=5, mode="jit", pcg_max_iterations=15)
+        max_iterations=8, mode="jit", pcg_max_iterations=15,
+        min_cost_threshold=target_cost)
     lm = apx.LevenbergMarquardt(cfg)
     t0 = time.perf_counter()
     result = lm.optimize(cp)
@@ -363,19 +373,19 @@ def bench_ba_venice(dtype):
     r1 = rmse(result.final_cost, ds.num_observations)
     _log(f"# venice-1778 BA: {result.summary()} RMSE {r0:.3f}->{r1:.3f} px "
          f"| cold {warm_s:.0f}s warm {best:.1f}s vs reference 83.17 s")
-    if not (r1 < 0.70):
+    if not (r1 < 0.46):
         _log(f"# venice-1778 QUALITY GATE MISSED: RMSE {r1:.3f}")
         return _row("venice1778_synthetic_ba_solve", best, "s", None,
                     result.iterations,
                     note=f"quality gate missed (RMSE {r1:.3f} px, needed "
-                         "<0.70 noise floor): ratio withheld")
+                         "<0.46 = reference final): ratio withheld")
     return _row("venice1778_synthetic_ba_solve", best, "s", 83.17,
                 result.iterations,
-                note="5-step converged-quality solve, inner PCG budget 15 "
-                     "(RMSE gate < 0.70 px proves the synthetic's ~0.68 "
-                     "noise floor is reached; reference solved the real "
-                     "venice in 2 iterations/83.17 s). Deeper runs cost "
-                     "more: see doc/performance.md venice table")
+                note="deep-quality solve: 0.3 px synthetic, stop at RMSE "
+                     "<= 0.46 px (the reference's real-venice final 0.458; "
+                     "its 83.17 s bought exactly that quality). Floor of "
+                     "this synthetic is 0.257 px, reached at 11 iters / "
+                     "~15 s — see doc/performance.md venice-deep table")
 
 
 def main():

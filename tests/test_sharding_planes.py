@@ -133,6 +133,54 @@ def test_flat_layout_still_uses_block_fallback(mesh):
 
 
 @pytest.mark.slow
+def test_per_chip_memory_bound_at_scaled_venice(mesh):
+    """VERDICT r3 item 9: a NUMBER, not just a shape check, guards the
+    partition claim. Compile (never run) the sharded and the single-chip
+    plane solves at 1/16-venice shape (111 cams / 62k pts / 312k obs) and
+    bound the per-device workspace via XLA's memory_analysis(): the
+    sharded module's temp bytes must be <= single-chip/8 plus the
+    replicated camera system (the dense [C*De, C*De] reduced system and
+    its factorization workspace are deliberately replicated on every
+    chip). Measured on this backend: 49.4 MB sharded vs 303.7 MB single
+    (ratio 0.163 vs the 0.125 ideal; the camera system accounts for the
+    difference)."""
+    ds = synthetic.synthetic_ba_large(
+        n_cameras=111, n_points=62_120, obs_per_camera=2813, seed=0)
+    cp = build_ba_problem(ds, mode="self_calibration").compile(
+        dtype=np.float32)
+    values = cp.initial_values()
+    damping = jnp.asarray(1e-3, cp.dtype)
+
+    step, shard_args = make_sharded_schur_step(cp, mesh)
+    assert hasattr(step, "solve")
+    ma_sh = step._solve_jit.lower(
+        values, damping, jnp.asarray(-1, jnp.int32),
+        jnp.zeros((cp.total_dof,), cp.dtype), *shard_args,
+    ).compile().memory_analysis()
+
+    ctx = SchurContext(cp, variant="iterative")
+    ma_1 = (jax.jit(lambda v, d: ctx.solve(v, d))
+            .lower(values, damping).compile().memory_analysis())
+
+    nd = 8
+    # replicated-by-design camera objects: the dense reduced system
+    # [C*De, C*De] appears a handful of times (S itself, its shifted
+    # copy, the Cholesky factor); bound that overhead at 4 copies.
+    cam_dof = 111 * 9
+    cam_bytes = 4 * (cam_dof * cam_dof * 4)
+    budget = ma_1.temp_size_in_bytes / nd + cam_bytes
+    assert ma_sh.temp_size_in_bytes <= 1.25 * budget, (
+        ma_sh.temp_size_in_bytes, ma_1.temp_size_in_bytes, budget)
+    # same bound on XLA's heap-simulation peak
+    peak_budget = ma_1.peak_memory_in_bytes / nd + cam_bytes
+    assert ma_sh.peak_memory_in_bytes <= 1.25 * peak_budget, (
+        ma_sh.peak_memory_in_bytes, ma_1.peak_memory_in_bytes, peak_budget)
+    # and the partition must actually bite: well under half the
+    # single-chip workspace per device
+    assert ma_sh.temp_size_in_bytes < 0.3 * ma_1.temp_size_in_bytes
+
+
+@pytest.mark.slow
 def test_per_chip_memory_partitions(mesh):
     """Compile (not run) a larger BA solve and inspect the partitioned
     HLO: every observation/landmark-sized buffer in the per-device module
@@ -171,8 +219,12 @@ def test_per_chip_memory_partitions(mesh):
     )
     k_loc_max = max(m.k_loc for m in step.metas)
     # largest legitimate buffers: [k_loc, De*De] stacked linearization
-    # planes (De=9 for self-calibration) or the [6, Pbuf] final
-    # all-gather; anything >= K_pad-sized is a replicated global leak.
-    assert biggest <= k_loc_max * 81, (biggest, k_loc_max)
+    # planes (De=9 for self-calibration), the [6, Pbuf] final all-gather,
+    # or — since the exact-split one-hot path materializes its per-chunk
+    # planes — a [ONEHOT_CHUNK, De*De] chunk workspace whose size is
+    # constant in K. Anything K_pad-sized is a replicated global leak.
+    from apex_tpu.linalg.schur_planes import UniformSchur
+    bound = max(k_loc_max, UniformSchur.ONEHOT_CHUNK) * 81
+    assert biggest <= bound, (biggest, k_loc_max, bound)
     assert not re.findall(rf"f32\[{k_pad_max},[0-9,]+\]", txt), (
         "global observation-sized buffer leaked into the per-device module")
