@@ -33,6 +33,18 @@ import numpy as np
 from .smallmm import es as _es
 
 
+def default_panel(W: int) -> int:
+    """Default block size for block-tridiagonal storage given the RCM
+    block bandwidth W. Narrow bands get a tight multiple-of-8 panel: the
+    old 128 floor put m3500's W=15 band in 128-wide blocks — 8.5x the
+    assembly traffic and solve flops for zeros (measured on TPU: 96 ->
+    65 ms full LM solve, compile 155 -> 17 s). Wide bands keep 128-lane
+    alignment for the MXU-bound level math."""
+    if W >= 128:
+        return int(-(-W // 128) * 128)
+    return int(max(8, -(-W // 8) * 8))
+
+
 def block_bandwidth(cp) -> int:
     """Host-side: smallest W such that every nonzero H[r, c] from the
     problem's factor blocks satisfies |r - c| < W (tangent-column units)."""
@@ -256,7 +268,8 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
                           recompute_l0: bool | None = None,
                           refine_rtol: float | None = None,
                           residual_dtype=None,
-                          compensated: bool | None = None):
+                          compensated: bool | None = None,
+                          retry_rtol: float | None = None):
     """Core block-cyclic-reduction solve on block-tridiagonal storage:
     returns solve_blocks(Dg [n,m,m], Cg [n,m,m] (Cg[i] = A[i, i-1], Cg[0]
     zero), b [n,m], damping) -> x [n*m] solving (A + damping I) x = b, with
@@ -290,12 +303,22 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
     n = -(-D // m)
     Dp = n * m
     if base_blocks is None:
-        base_blocks = max(2, min(64, 1536 // m))
+        # ~1.5k-DOF dense core regardless of block size: small-m bands
+        # (default_panel gives m3500 m=16) otherwise run extra CR levels
+        # whose accumulated f32 error the retry gate then over-damps
+        # (measured under the degraded-matmul seam: 12 iters with a
+        # 64-block cap vs 4 uncapped).
+        base_blocks = max(2, 1536 // m)
     if recompute_l0 is None:
         stash_bytes = 3 * (n // 2) * m * m * jnp.dtype(dtype).itemsize
         recompute_l0 = stash_bytes > 128 * 2**20
     if refine_rtol is None:
         refine_rtol = 1e-10 if jnp.dtype(dtype) == jnp.float64 else 2e-5
+    if retry_rtol is None:
+        # retry-ladder residual gate (see solve_blocks): healthy f32 solves
+        # measure ~1.4e-5 relative post-refinement, corrupted ones ~5e-3;
+        # 3e-4 sits a decade from both. f64 never trips it in practice.
+        retry_rtol = 1e-8 if jnp.dtype(dtype) == jnp.float64 else 3e-4
     # ``compensated``: f32-faithful matmuls (hi/lo split, _mm_split) in the
     # CR level updates, back-substitution, and IR residual. Default: ON
     # exactly when the backend's HIGHEST-precision f32 matmul measures
@@ -426,10 +449,14 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
             return (br - hx).astype(dtype)
 
         def attempt(shift):
+            """Solve the shift-damped system; returns (x, res2) where res2
+            is the squared residual norm of x in that SAME shifted system
+            (the quantity both IR and the retry gate judge)."""
             Dgs = Dg0 + shift * eye
             x = solve_once(Dgs, Cg, bp)
             if refine <= 0:
-                return x
+                res = _residual(Dgs, x)
+                return x, jnp.sum(res * res)
             btol2 = (refine_rtol ** 2) * jnp.sum(bp * bp)
 
             def refine_body(x):
@@ -444,21 +471,38 @@ def make_blocktri_cr_core(D: int, m: int, dtype, base_reg: float = 1e-10,
 
             for _ in range(refine):
                 x = refine_body(x)
-            return x
+            res = _residual(Dgs, x)
+            return x, jnp.sum(res * res)
 
-        dx = attempt(damp)
+        dx, res2 = attempt(damp)
+
+        # Retry gate: non-finite (as before) OR a post-refinement residual
+        # far above what a trustworthy factorization leaves. Measured at the
+        # m3500 junk state (kappa(A+mu I) = 4.1e12 at mu = 2.4e-8 from
+        # damping="auto"): healthy f32 solves land at ~1.4e-5 relative,
+        # the corrupted ones at ~5e-3 with a step 3x too long in the wrong
+        # direction (cos 0.65 to the f64 step) — which LM then spends whole
+        # rejected iterations discovering. Escalating the shift until the
+        # residual is honest replaces those junk steps with a more-damped
+        # valid step INSIDE one solve dispatch (reference has no analogue:
+        # its faer LLT runs f64 where kappa*eps is never the binding
+        # constraint; this is the f32-TPU equivalent of that robustness).
+        bad2 = (retry_rtol ** 2) * jnp.sum(bp * bp)
 
         def body(carry):
-            dx, reg, stage = carry
+            dx, res2, reg, stage = carry
             reg = jnp.where(stage == 0, base_reg * trace_d, reg * 100.0)
-            return attempt(damp + reg), reg, stage + 1
+            dx, res2 = attempt(damp + reg)
+            return dx, res2, reg, stage + 1
 
         def cond(carry):
-            dx, reg, stage = carry
-            return jnp.logical_and(~jnp.all(jnp.isfinite(dx)), stage < stages)
+            dx, res2, reg, stage = carry
+            bad = jnp.logical_or(~jnp.all(jnp.isfinite(dx)), res2 > bad2)
+            return jnp.logical_and(bad, stage < stages)
 
-        dx, _, _ = jax.lax.while_loop(
-            cond, body, (dx, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
+        dx, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (dx, res2, jnp.zeros((), dtype), jnp.zeros((), jnp.int32))
         )
         return dx
 
@@ -472,10 +516,17 @@ def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
                             refine: int = 1, base_blocks: int | None = None,
                             residual_dtype=None,
                             refine_rtol: float | None = None,
-                            compensated: bool | None = None):
+                            compensated: bool | None = None,
+                            retry_rtol: float | None = None):
     """Dense-H front end for make_blocktri_cr_core: solve(H, g, damping)
-    extracts the block-tridiagonal band of H and runs cyclic reduction."""
-    m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
+    extracts the block-tridiagonal band of H and runs cyclic reduction.
+
+    Standalone solves default the residual retry gate OFF (retry_rtol=inf):
+    a caller asking for x = A^-1 b wants the best unbiased answer the
+    precision allows, not a silently regularized one. The optimizer core
+    keeps the gate ON (a junk step near kappa*eps is worse than a slightly
+    more damped valid step — see make_blocktri_cr_core)."""
+    m = block if block is not None else default_panel(W)
     if W > m:
         raise ValueError(f"block {m} smaller than bandwidth {W}")
     n = -(-D // m)
@@ -485,7 +536,9 @@ def make_blocktri_cr_solver(D: int, W: int, dtype, block: int | None = None,
                                  base_blocks=base_blocks,
                                  residual_dtype=residual_dtype,
                                  refine_rtol=refine_rtol,
-                                 compensated=compensated)
+                                 compensated=compensated,
+                                 retry_rtol=(float("inf") if retry_rtol is None
+                                             else retry_rtol))
     idx = jnp.arange(n)
 
     def solve(H, g, damping=None):
@@ -571,9 +624,10 @@ class BandedNormalAssembler:
     traffic — this is what lets 100k-pose graphs fit on one chip.
     """
 
-    def __init__(self, cp, block: int | None = None):
+    def __init__(self, cp, block: int | None = None,
+                 gather_plan: bool | None = None):
         W = block_bandwidth(cp)
-        m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
+        m = block if block is not None else default_panel(W)
         if W > m:
             raise ValueError(f"block {m} smaller than bandwidth {W}")
         D = cp.total_dof
@@ -589,22 +643,47 @@ class BandedNormalAssembler:
             [([mf.dof for mf in g.manifolds], g.cols) for g in cp.groups],
             m, n, self.g_base, dump,
         )
-        self._perm = jnp.asarray(perm)
-        self._ids = jnp.asarray(ids)
+        # ``gather_plan``: replace the sorted segment-sum with the gather-
+        # only bucket plan from linalg/segsum. Default OFF here: measured
+        # at m3500 scale the plan runs 20.7 ms vs 4.2 ms for the scatter —
+        # the band buffer's segments are SCALARS, and 1-D scalar gathers
+        # (2.7M-element out_gather) lane-starve the TPU, unlike the [K, 3]
+        # vector rows where the plan wins 4.6x (schur_planes). Kept as an
+        # option for narrow-band/vector-row layouts.
+        self._use_plan = False if gather_plan is None else gather_plan
+        if self._use_plan:
+            from .segsum import make_plan
+
+            # make_plan wants UNSORTED per-row destinations; band_plan
+            # returns (perm, sorted ids) with dest[perm[j]] = ids[j].
+            dest = np.empty(len(perm), np.int64)
+            dest[perm] = ids
+            # num_segments = dump: the transposed upper-panel entries
+            # (dest == dump) are dropped by the plan instead of summed
+            # into a throwaway slot.
+            self._plan = make_plan(dest, dump)
+        else:
+            self._perm = jnp.asarray(perm)
+            self._ids = jnp.asarray(ids)
 
     def assemble(self, values):
         """-> (Dg [n,m,m], Cg [n,m,m], gvec [D], cost)."""
         cp, m, n = self.cp, self.m, self.n
         vals, cost = band_values(cp, values)
-        flat = vals[self._perm]
-        # Keep the permutation gather a separate kernel: if XLA fuses it
-        # into the segment-sum scatter, the scatter's reads become random
-        # and it runs ~5x slower (measured on TPU).
-        flat = jax.lax.optimization_barrier(flat)
-        buf = jax.ops.segment_sum(
-            flat, self._ids, num_segments=self.n_segments,
-            indices_are_sorted=True,
-        )
+        if self._use_plan:
+            from .segsum import apply_plan
+
+            buf = apply_plan(self._plan, vals)
+        else:
+            flat = vals[self._perm]
+            # Keep the permutation gather a separate kernel: if XLA fuses
+            # it into the segment-sum scatter, the scatter's reads become
+            # random and it runs ~5x slower (measured on TPU).
+            flat = jax.lax.optimization_barrier(flat)
+            buf = jax.ops.segment_sum(
+                flat, self._ids, num_segments=self.n_segments,
+                indices_are_sorted=True,
+            )
         nmm = n * m * m
         Dg = buf[:nmm].reshape(n, m, m)
         Cg = buf[nmm:2 * nmm].reshape(n, m, m)
@@ -644,7 +723,7 @@ class StridedBandAssembler:
     @classmethod
     def build(cls, cp, block: int | None = None, max_runs: int = 64):
         W = block_bandwidth(cp)
-        m = block if block is not None else int(-(-max(W, 128) // 128) * 128)
+        m = block if block is not None else default_panel(W)
         if W > m:
             return None
         specs = []  # per group: list of (k0, k1, [c0 per slot])

@@ -51,6 +51,10 @@ def make_plan(dest_ids, num_segments: int) -> SegmentSumPlan:
     K = int(dest_ids.shape[0])
     order = np.argsort(dest_ids, kind="stable").astype(np.int64)
     sorted_ids = dest_ids[order]
+    # rows with dest >= num_segments are dropped (matches segment_sum's
+    # out-of-range semantics) — callers use a sentinel id as a dump slot
+    order = order[sorted_ids < num_segments]
+    sorted_ids = sorted_ids[sorted_ids < num_segments]
     counts = np.bincount(sorted_ids, minlength=num_segments).astype(np.int64)
     starts = np.zeros(num_segments, dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
@@ -60,14 +64,15 @@ def make_plan(dest_ids, num_segments: int) -> SegmentSumPlan:
     seg_order: List[np.ndarray] = []
     total = 0
     cap = 1
-    max_count = int(counts.max()) if K else 0
+    Kf = len(order)  # rows kept after the out-of-range drop
+    max_count = int(counts.max()) if Kf else 0
     while True:
         lo = cap // 2
         sel = nonzero[(counts[nonzero] > lo) & (counts[nonzero] <= cap)]
         if len(sel):
             pos = starts[sel][:, None] + np.arange(cap)[None, :]
             valid = np.arange(cap)[None, :] < counts[sel][:, None]
-            gi = np.where(valid, order[np.minimum(pos, K - 1)], K)
+            gi = np.where(valid, order[np.minimum(pos, Kf - 1)], K)
             buckets.append((cap, jnp.asarray(gi.astype(np.int32))))
             seg_order.append(sel)
             total += gi.size

@@ -180,7 +180,7 @@ def make_sharded_banded_lm_step(cp: CompiledProblem, mesh: Mesh,
     n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == axis_name]))
 
     W = banded.block_bandwidth(cp)
-    m = int(-(-max(W, 128) // 128) * 128)
+    m = banded.default_panel(W)
     D = cp.total_dof
     n = -(-D // m)
     Dp = n * m

@@ -259,7 +259,8 @@ def bench_ba_dubrovnik(dtype, runs):
     return _row("dubrovnik356_synthetic_ba_solve", best, "s", 47.16,
                 result.iterations,
                 note="stops at the reference's final RMSE (0.533 px; pixel "
-                     "noise 0.6 so that quality is reachable); reached in "
+                     "noise 0.5 keeps the synthetic floor ~0.43 decisively "
+                     "below the gate); reached in "
                      f"{result.iterations} LM iteration(s) vs the "
                      "reference's 9 on the real data — s_per_iter is the "
                      "apples-to-apples number")
