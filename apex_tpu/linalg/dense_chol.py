@@ -1,0 +1,144 @@
+"""Recursive blocked Cholesky for LARGE dense cores on TPU.
+
+XLA lowers ``lax.linalg.cholesky`` through its CholeskyExpander: a
+``while``-loop over 128-wide panels whose inner factorization is a
+row-by-row scalar recurrence — tiny [128, k] contractions that leave the
+MXU idle, plus one dynamic-slice round trip per panel. At the separator
+cores this library produces (the general-sparsity tier's remaining
+block core, e.g. grid3D-20^3's R=3,377 blocks -> a 20,262^2 matrix,
+vs /root/reference/src/linalg/sparse/cholesky.rs:103-157 which hands the
+whole pattern to faer's simplicial LLT on CPU), that expander shape is
+the dominant per-LM-iteration cost.
+
+This module is the MAGMA-style alternative: **recursive** blocked
+factorization, unrolled at trace time with static shapes.
+
+    chol([[A11, .], [A21, A22]]) ->
+        L11 = chol(A11)
+        L21 = A21 L11^{-T}           (recursive right triangular solve)
+        L22 = chol(A22 - L21 L21^T)  (one big GEMM)
+
+Every update is a half-size GEMM, so ~all of the n^3/3 FLOPs land on the
+MXU as large matmuls; the O(log n) recursion bottoms out in leaf panels
+small enough that XLA's expander cost is negligible. The right-side
+triangular solve recurses the same way (two half-size solves + one GEMM)
+instead of XLA's TriangularSolveExpander (n/128 sequential block steps).
+
+Numerics: all GEMMs go through a caller-supplied ``mm`` so the degraded-
+backend compensated path (banded._mm_split — hi/lo bf16 splits, see
+banded.py) drops in; leaf factorizations stay in XLA's expander whose
+[128]-wide internal products are small enough that bf16 truncation of a
+*diagonally dominant damped* leaf is benign (the damped normal equations
+always reach here with shift > 0 — pinned by tests/test_precision.py's
+degraded-seam trajectory tests).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _split_point(n: int, align: int = 256) -> int:
+    """Split n into n1 + n2 with n1 ~ n/2 rounded to ``align`` (keeps every
+    GEMM dimension MXU-tile aligned when n itself is aligned)."""
+    half = (n + 1) // 2
+    n1 = max(align, (half + align - 1) // align * align)
+    return min(n1, n - 1) if n > align else (n + 1) // 2
+
+
+def tri_solve_right_t(L, B, leaf: int = 512, mm=jnp.matmul):
+    """X = B L^{-T} for lower-triangular L [n, n], B [m, n].
+
+    Recursive: split L = [[L11, 0], [L21, L22]]; then
+    X1 = B1 L11^{-T}, X2 = (B2 - X1 L21^T) L22^{-T}.
+    """
+    n = L.shape[-1]
+    if n <= leaf:
+        return lax.linalg.triangular_solve(
+            L, B, left_side=False, lower=True, transpose_a=True)
+    n1 = _split_point(n)
+    L11 = L[:n1, :n1]
+    L21 = L[n1:, :n1]
+    L22 = L[n1:, n1:]
+    X1 = tri_solve_right_t(L11, B[:, :n1], leaf, mm)
+    X2 = tri_solve_right_t(L22, B[:, n1:] - mm(X1, L21.T), leaf, mm)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def tri_solve_left(L, b, leaf: int = 512, mm=jnp.matmul):
+    """x = L^{-1} b for lower-triangular L [n, n], b [n, k] (forward)."""
+    n = L.shape[-1]
+    if n <= leaf:
+        return lax.linalg.triangular_solve(
+            L, b, left_side=True, lower=True)
+    n1 = _split_point(n)
+    x1 = tri_solve_left(L[:n1, :n1], b[:n1], leaf, mm)
+    x2 = tri_solve_left(L[n1:, n1:], b[n1:] - mm(L[n1:, :n1], x1), leaf, mm)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
+def tri_solve_left_t(L, b, leaf: int = 512, mm=jnp.matmul):
+    """x = L^{-T} b for lower-triangular L [n, n], b [n, k] (backward)."""
+    n = L.shape[-1]
+    if n <= leaf:
+        return lax.linalg.triangular_solve(
+            L, b, left_side=True, lower=True, transpose_a=True)
+    n1 = _split_point(n)
+    x2 = tri_solve_left_t(L[n1:, n1:], b[n1:], leaf, mm)
+    x1 = tri_solve_left_t(L[:n1, :n1], b[:n1] - mm(L[n1:, :n1].T, x2),
+                          leaf, mm)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
+def recursive_cholesky(A, leaf: int = 512, mm=jnp.matmul):
+    """Lower Cholesky factor of SPD A [n, n], GEMM-rich recursion."""
+    n = A.shape[-1]
+    if n <= leaf:
+        return lax.linalg.cholesky(A)
+    n1 = _split_point(n)
+    L11 = recursive_cholesky(A[:n1, :n1], leaf, mm)
+    L21 = tri_solve_right_t(L11, A[n1:, :n1], leaf, mm)
+    S = A[n1:, n1:] - mm(L21, L21.T)
+    L22 = recursive_cholesky(S, leaf, mm)
+    z = jnp.zeros((n1, n - n1), A.dtype)
+    return jnp.concatenate([
+        jnp.concatenate([L11, z], axis=1),
+        jnp.concatenate([L21, L22], axis=1)], axis=0)
+
+
+def recursive_cho_solve(L, b, leaf: int = 512, mm=jnp.matmul):
+    """Solve L L^T x = b given the factor from recursive_cholesky.
+
+    b may be [n] or [n, k].
+    """
+    vec = b.ndim == 1
+    if vec:
+        b = b[:, None]
+    y = tri_solve_left(L, b, leaf, mm)
+    x = tri_solve_left_t(L, y, leaf, mm)
+    return x[:, 0] if vec else x
+
+
+def _hi_mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def cho_solve_auto(A, b, threshold: int = 4096, leaf: int = 1024, mm=None):
+    """Dense SPD solve that picks the factorization by size: XLA's
+    CholeskyExpander below ``threshold`` (one fused while-loop, cheapest
+    to compile and fast enough at small n), the recursive GEMM-rich
+    factorization above it (where the expander's 128-wide panel loop is
+    the bottleneck — measured 4-5x slower at separator-core sizes).
+
+    ``mm`` defaults to HIGHEST-precision matmul; pass banded._mm_split on
+    degraded-MXU backends (see banded.mxu_f32_exact)."""
+    n = A.shape[-1]
+    if n <= threshold:
+        cf = jax.scipy.linalg.cho_factor(A, lower=True)
+        return jax.scipy.linalg.cho_solve(cf, b)
+    if mm is None:
+        mm = _hi_mm
+    L = recursive_cholesky(A, leaf, mm)
+    return recursive_cho_solve(L, b, leaf, mm)

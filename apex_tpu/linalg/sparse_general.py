@@ -45,7 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .banded import _bmt, _mm
+from .banded import _bmt, _mm, _mm_split, mxu_f32_exact
+from .dense_chol import cho_solve_auto
 
 
 # ---------------------------------------------------------------------------
@@ -233,6 +234,12 @@ class GeneralSparseCholesky:
                                       min_picked=min_picked)
         self._build_assembly_plan()
         self._build_base_plan()
+        # Dense-core GEMMs (recursive Cholesky above the size gate in
+        # cho_solve_auto): compensated hi/lo-split matmuls when the
+        # backend's MXU truncates f32 operands to bf16 (same probe/policy
+        # as the banded CR tier — banded.mxu_f32_exact).
+        self._core_mm = (_mm_split if np.dtype(cp.dtype) == np.float32
+                         and not mxu_f32_exact() else None)
         self._levels_dev = [
             dict(
                 picked=jnp.asarray(lv.picked.astype(np.int32)),
@@ -459,8 +466,7 @@ class GeneralSparseCholesky:
                 indices_are_sorted=True, unique_indices=True)
             A = A.reshape(R * d, R * d)
             bb = bv[self._base_ids].reshape(-1)
-            cf = jax.scipy.linalg.cho_factor(A, lower=True)
-            xb = jax.scipy.linalg.cho_solve(cf, bb).reshape(R, d)
+            xb = cho_solve_auto(A, bb, mm=self._core_mm).reshape(R, d)
         x = jnp.zeros((self.nv + 1, d), dtype=B.dtype)
         if R:
             x = x.at[self._base_ids].set(xb)
