@@ -120,6 +120,39 @@ def test_degraded_matmul_cr_trajectory_recovered(monkeypatch):
     assert recovered <= clean + 1, (clean, recovered)
 
 
+def test_sharded_plane_f32_f64_trajectory_parity():
+    """8-virtual-device landmark-partitioned plane solve (the multi-chip BA
+    path): the f32 compile must track the f64 LM-step trajectory — per-step
+    costs within f32 tolerance over a fixed 5-step schedule. Completes the
+    VERDICT r3 item-7 matrix (banded CR, general tier, sharded planes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from apex_tpu.parallel import make_sharded_schur_step
+
+    ds = synthetic.synthetic_ba(n_cameras=7, n_points=110, seed=4)
+    problem = build_ba_problem(ds, mode="self_calibration")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    def run(dt):
+        cp = problem.compile(dtype=dt)
+        step, _ = make_sharded_schur_step(cp, mesh)
+        values = cp.initial_values()
+        damping = jnp.asarray(1e-3, cp.dtype)
+        nu = jnp.asarray(2.0, cp.dtype)
+        costs = [float(cp.cost(values))]
+        state = (values, damping, nu, jnp.asarray(costs[0], cp.dtype))
+        for _ in range(5):
+            state = step(*state)
+            costs.append(float(state[3]))
+        return np.asarray(costs)
+
+    c64, c32 = run(np.float64), run(np.float32)
+    np.testing.assert_allclose(c32, c64, rtol=5e-3)
+    assert c32[-1] < 0.5 * c32[0]
+
+
 def test_grid3d_general_tier_f32_f64_trajectory_parity():
     """General-sparsity tier (independent-set block elimination): f32 must
     track f64 iterations within 1 and final cost within 1% on a grid3D
