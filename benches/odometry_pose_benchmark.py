@@ -67,10 +67,17 @@ def main():
 
     import numpy as np
 
-    if args.platform:
-        import jax
+    import jax
 
-        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        # Forcing only makes sense toward CPU (the synthetic generators
+        # need the cpu backend alive, so never *remove* it); any other
+        # value is a label assertion against the detected backend.
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.default_backend()
+    if args.platform and args.platform != platform:
+        raise SystemExit(f"requested platform {args.platform!r} but "
+                         f"default backend is {platform!r}")
 
     import apex_tpu as apx
 
@@ -84,7 +91,11 @@ def main():
             "gn": (apx.GaussNewton, apx.GaussNewtonConfig),
             "dl": (apx.DogLeg, apx.DogLegConfig),
         }[args.optimizer]
-        solver = cls(ccls(max_iterations=100, cost_tolerance=1e-4, mode="jit"))
+        kw = dict(max_iterations=100, cost_tolerance=1e-4, mode="jit",
+                  linear_solver_type="sparse_cholesky")
+        if args.optimizer == "lm":
+            kw["damping"] = "auto"  # Madsen-Nielsen, same as the bench rungs
+        solver = cls(ccls(**kw))
         result = solver.optimize(cp)  # warmup/compile
         best = float("inf")
         for _ in range(args.runs):
@@ -96,7 +107,7 @@ def main():
         rows.append(dict(
             dataset=name, source=source, vertices=g.num_vertices,
             edges=g.num_edges, optimizer=args.optimizer, dtype=args.dtype,
-            platform=args.platform or "default",
+            platform=platform,
             status=result.status.name, iterations=result.iterations,
             initial_cost=result.initial_cost, final_cost=result.final_cost,
             time_ms=round(ms, 2), baseline_ms=BASELINE_MS.get(name),
