@@ -456,9 +456,29 @@ def main():
             results.append({"metric": "sphere2500_synthetic_lm_solve",
                             "value": -1.0, "unit": "ms", "vs_baseline": 0.0})
 
-    head = dict(results[0])
-    head["extra"] = results[1:]
-    print(json.dumps(head))
+    # The driver records only the LAST ~2000 chars of stdout; BENCH_r03/r04
+    # came back `parsed: null` because verbose per-rung notes pushed the
+    # single JSON line past that window and truncation ate the head rungs
+    # (VERDICT r4 weak #3). So: full rows (with notes) go to a sidecar file
+    # + stderr, and stdout gets ONE compact line — notes stripped, printed
+    # last — that stays well inside the capture window.
+    with open("bench_full.json", "w") as f:
+        json.dump({"rows": results}, f, indent=1)
+    _log(f"# full rows (with notes) written to bench_full.json")
+    compact = []
+    for r in results:
+        c = {k: v for k, v in r.items() if k != "note"}
+        if "note" in r:
+            _log(f"# note[{r['metric']}]: {r['note']}")
+        compact.append(c)
+    head = dict(compact[0])
+    head["extra"] = compact[1:]
+    line = json.dumps(head, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
+        for r in head["extra"]:
+            r.pop("s_per_iter", None)
+        line = json.dumps(head, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

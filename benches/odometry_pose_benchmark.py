@@ -60,9 +60,12 @@ def main():
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64"])
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--platform", default=None,
-                    help="force jax platform (cpu/tpu); small SE2 graphs are "
-                         "latency-bound on a remote-tunnel TPU, so committed "
-                         "artifacts record the platform used")
+                    help="'cpu' forces the cpu backend; any OTHER value is an "
+                         "assertion only (exits if the detected default "
+                         "backend differs — never force-removes cpu, the "
+                         "synthetic generators need it alive). Small SE2 "
+                         "graphs are latency-bound on a remote-tunnel TPU, so "
+                         "committed artifacts record the platform used")
     args = ap.parse_args()
 
     import numpy as np
@@ -108,6 +111,11 @@ def main():
             dataset=name, source=source, vertices=g.num_vertices,
             edges=g.num_edges, optimizer=args.optimizer, dtype=args.dtype,
             platform=platform,
+            # self-describing solver config (ADVICE r4): BASELINE_MS was
+            # measured by the reference under ITS defaults; rows must say
+            # what config produced the apex number.
+            linear_solver=kw["linear_solver_type"],
+            damping=kw.get("damping", "fixed"),
             status=result.status.name, iterations=result.iterations,
             initial_cost=result.initial_cost, final_cost=result.final_cost,
             time_ms=round(ms, 2), baseline_ms=BASELINE_MS.get(name),

@@ -15,6 +15,11 @@ import time
 
 sys.path.insert(0, ".")
 
+# Reference wall time for the real cubicle dataset: 512.0 ms / 5 LM iters,
+# measured by the upstream project on an Apple M4 Mac Mini
+# (/root/reference/doc/performance.md:71; mirrored in BASELINE.md).
+CUBICLE_BASELINE_MS = 512.0
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -50,7 +55,8 @@ def main():
             print(f"{solver:>16}: {result.status.name} {result.iterations} "
                   f"iters cost->{result.final_cost:.3e} warm {warm:.1f}s "
                   f"best {ms:.1f} ms ({ms / max(result.iterations, 1):.1f} "
-                  f"ms/iter, {512.0 / ms:.2f}x baseline)", flush=True)
+                  f"ms/iter, {CUBICLE_BASELINE_MS / ms:.2f}x baseline)",
+                  flush=True)
         except Exception as e:  # noqa: BLE001 - shootout keeps going
             print(f"{solver:>16}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)

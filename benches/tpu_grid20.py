@@ -33,8 +33,14 @@ def solve(graph, solver, dtype, runs=2, min_reduction=0.5):
         t0 = time.perf_counter()
         result = lm.optimize(cp)
         best = min(best, time.perf_counter() - t0)
-    assert result.converged, result.summary()
-    assert result.final_cost < (1 - min_reduction) * result.initial_cost
+    # hard gates (not `assert` — stripped under python -O, which would turn
+    # the capture harness into a silent pass; ADVICE r4)
+    if not result.converged:
+        raise SystemExit(f"FAILED convergence gate: {result.summary()}")
+    if not result.final_cost < (1 - min_reduction) * result.initial_cost:
+        raise SystemExit(
+            f"FAILED cost-reduction gate: {result.initial_cost:.3e} -> "
+            f"{result.final_cost:.3e} (needed x{1 - min_reduction:.2f})")
     return best, warm, result
 
 
