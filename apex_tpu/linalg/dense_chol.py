@@ -122,7 +122,13 @@ def recursive_cho_solve(L, b, leaf: int = 512, mm=jnp.matmul):
 
 
 def _hi_mm(a, b):
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    # banded._mm_raw = HIGHEST-precision matmul, routed through the
+    # _DEGRADE_MM test seam so the CPU suite can reproduce a backend whose
+    # MXU truncates f32 operands (tests/test_precision.py pins that the
+    # recursive core then needs mm=_mm_split — VERDICT r4 weak #6).
+    from .banded import _mm_raw
+
+    return _mm_raw(a, b)
 
 
 def cho_solve_auto(A, b, threshold: int = 4096, leaf: int = 1024, mm=None):

@@ -47,6 +47,7 @@ import numpy as np
 
 from .banded import _bmt, _mm, _mm_split, mxu_f32_exact
 from .dense_chol import cho_solve_auto
+from .segsum import apply_plan, make_plan
 
 
 # ---------------------------------------------------------------------------
@@ -212,8 +213,8 @@ class BlockGraphSymbolic:
 class GeneralSparseCholesky:
     """Direct solve of the damped normal equations for ANY factor-graph
     sparsity: assemble block values straight from the batched
-    linearization (one presorted segment-sum, like the banded assembler),
-    then run the independent-set elimination plan.
+    linearization (two gather-only block-row segment sums), then run the
+    independent-set elimination plan.
 
     Applicability guard: ``suitable(cp)`` — block count within the
     symbolic budget and the elimination terminates with bounded fill.
@@ -309,18 +310,19 @@ class GeneralSparseCholesky:
                 and len(self.sym.remaining) * self.dmax <= 24576)
 
     def _build_assembly_plan(self):
-        """Flat destinations for every J_s^T J_t element and J_s^T r
-        element emitted in band_values() order (linalg/banded.py):
-        buffer = [slots (n_slots+1 dump) * dmax^2 | gradient nv*dmax | dump]."""
+        """Block-row assembly plans: destinations at BLOCK granularity —
+        one slot id per J_s^T J_t block ([dmax, dmax] row) and one block
+        id per J_s^T r row ([dmax]). Gather-only bucket segment sums over
+        vector rows (segsum.py) replace the round-2 element-level sorted
+        scatter: a 1-D scatter of ~740k scalars into ~1.6M segments ran at
+        ~20 Mvals/s on TPU (~12 ms device time at grid3D-12^3, the bulk of
+        assembly); row-vectorized gathers move [*, dmax^2]-lane rows
+        instead."""
         cp = self.cp
-        d2 = self.dmax * self.dmax
-        self.g_base = (self.sym.n_slots + 1) * d2
-        self.n_segments = self.g_base + self.nv * self.dmax + 1
-        big_dump = self.n_segments - 1
         host_group_cols = getattr(cp, "host_group_cols", None)
         col_to_block = {int(c): i for i, c in enumerate(self.col_arr)}
         slot_of = self.sym.slot_of
-        dests = []
+        h_dest, g_dest = [], []
         for gi, g in enumerate(cp.groups):
             dofs = [m.dof for m in g.manifolds]
             blocks = []
@@ -330,27 +332,17 @@ class GeneralSparseCholesky:
                 blocks.append(
                     np.asarray([col_to_block[int(c)] for c in cols_s]))
             for s in range(len(dofs)):
-                bs = blocks[s]
-                # gradient: g[block, i]
-                dg = (self.g_base + bs[:, None] * self.dmax
-                      + np.arange(dofs[s]))
-                dests.append(dg.reshape(-1))
+                g_dest.append(blocks[s])
                 for t in range(len(dofs)):
-                    bt = blocks[t]
-                    ss = np.asarray(
+                    h_dest.append(np.asarray(
                         [slot_of.get((int(a), int(b)), self.sym.dump)
-                         for a, b in zip(bs, bt)])
-                    dd = (ss[:, None, None] * d2
-                          + np.arange(dofs[s])[None, :, None] * self.dmax
-                          + np.arange(dofs[t])[None, None, :])
-                    dd = np.where(ss[:, None, None] == self.sym.dump,
-                                  big_dump, dd)
-                    dests.append(dd.reshape(-1))
-        all_dest = (np.concatenate(dests) if dests
-                    else np.zeros(0, dtype=np.int64))
-        perm = np.argsort(all_dest, kind="stable")
-        self._asm_perm = jnp.asarray(perm.astype(np.int32))
-        self._asm_idx = jnp.asarray(all_dest[perm].astype(np.int32))
+                         for a, b in zip(blocks[s], blocks[t])]))
+        h_dest = (np.concatenate(h_dest) if h_dest
+                  else np.zeros(0, dtype=np.int64))
+        g_dest = (np.concatenate(g_dest) if g_dest
+                  else np.zeros(0, dtype=np.int64))
+        self._h_plan = make_plan(h_dest, self.sym.n_slots + 1)
+        self._g_plan = make_plan(g_dest, self.nv)
         # diagonal pinning: padded dims of each block diag get +1
         pin = np.zeros((self.nv, self.dmax), dtype=np.float64)
         for i, d in enumerate(self.dof_arr):
@@ -360,58 +352,78 @@ class GeneralSparseCholesky:
             [self.sym.slot_of[(i, i)] for i in range(self.nv)],
             dtype=np.int32))
 
+    # Block rows per core-assembly chunk: bounds the [Rc*R, d*d] scatter
+    # intermediate (whose d*d minor dim tile-pads to 128 lanes) to
+    # ~Rc*R*512 bytes — 222 MB at the grid3D-20^3 core (R=3,377) instead
+    # of the 5.8 GB an unchunked [R*R, d*d] would occupy.
+    CORE_CHUNK = 128
+
     def _build_base_plan(self):
         """Dense core: remaining blocks packed into an [R*dmax, R*dmax]
-        matrix. Assembled by a flat element scatter from the slots that
-        actually exist in the core — an [R, R] block-table gather would
+        matrix. Assembled chunk-by-chunk as BLOCK-ROW scatters: for each
+        slab of Rc block rows, scatter the core blocks' [d*d] rows into
+        [Rc*R, d*d] (vector-row scatter — the round-4 flat element
+        scatter ran at ~20 Mel/s, ~15 ms of the grid3D-12^3 iteration),
+        reshape-transpose to [Rc*d, R*d], and place with one
+        dynamic_update_slice. (An [R, R] block-table GATHER would
         materialize [R, R, d, d], whose trailing (d, d) dims tile-pad
-        (8, 128) on TPU: 28x memory, 35 GB at the grid3D-20^3 core
-        (R=3,377) vs 1.6 GB for the dense matrix itself."""
+        (8, 128) on TPU: 28x memory, 35 GB at the grid3D-20^3 core.)"""
         rem = self.sym.remaining
         self.base_rank = {v: i for i, v in enumerate(rem)}
         R = len(rem)
         d = self.dmax
-        slot_ids, dests = [], []
+        ij = []  # (block row i, block col j, slot)
         for (u, w), s in self.sym.slot_of.items():
             i = self.base_rank.get(u)
             j = self.base_rank.get(w)
-            if i is None or j is None:
-                continue
-            slot_ids.append(s)
-            # flat destinations of this block's d*d elements in [R*d, R*d]
-            rows = (i * d + np.arange(d))[:, None]
-            cols = (j * d + np.arange(d))[None, :]
-            dests.append((rows * (R * d) + cols).reshape(-1))
-        if slot_ids:
-            slot_ids = np.asarray(slot_ids, dtype=np.int64)
-            flat = np.stack(dests).reshape(-1)  # [n_core * d*d]
-            perm = np.argsort(flat, kind="stable")
-            self._core_slot_ids = jnp.asarray(slot_ids.astype(np.int32))
-            self._core_perm = jnp.asarray(perm.astype(np.int32))
-            self._core_dest = jnp.asarray(flat[perm].astype(np.int32))
-        else:
-            self._core_slot_ids = jnp.zeros((0,), jnp.int32)
-            self._core_perm = jnp.zeros((0,), jnp.int32)
-            self._core_dest = jnp.zeros((0,), jnp.int32)
+            if i is not None and j is not None:
+                ij.append((i, j, s))
+        ij.sort()
+        iarr = np.asarray([e[0] for e in ij], dtype=np.int64)
+        self._core_chunks = []  # (i0, Rc, slot_ids [S_c], row_dest [S_c])
+        for i0 in range(0, R, self.CORE_CHUNK):
+            Rc = min(self.CORE_CHUNK, R - i0)
+            lo, hi = np.searchsorted(iarr, [i0, i0 + Rc])
+            part = ij[lo:hi]
+            self._core_chunks.append((
+                i0, Rc,
+                jnp.asarray(np.asarray([e[2] for e in part], dtype=np.int32)),
+                jnp.asarray(np.asarray(
+                    [(e[0] - i0) * R + e[1] for e in part], dtype=np.int32)),
+            ))
         self._base_ids = jnp.asarray(np.asarray(rem, dtype=np.int32))
         self.R = R
 
     # -- device numerics ---------------------------------------------------
 
     def assemble(self, values):
-        """-> (B [n_slots+1, dmax, dmax], gvec [nv, dmax], cost)."""
-        from .banded import band_values
+        """-> (B [n_slots+1, dmax, dmax], gvec [nv, dmax], cost).
 
+        Batched linearization per group, padded to [*, dmax(, dmax)] rows,
+        then the two gather-only row segment sums from the assembly plan
+        (same emission order as linalg/banded.band_values, block-major)."""
         cp = self.cp
-        vals, cost = band_values(cp, values)
-        flat = jax.lax.optimization_barrier(vals[self._asm_perm])
-        buf = jax.ops.segment_sum(
-            flat, self._asm_idx, num_segments=self.n_segments,
-            indices_are_sorted=True)
-        d2 = self.dmax * self.dmax
-        B = buf[:(self.sym.n_slots + 1) * d2].reshape(-1, self.dmax, self.dmax)
-        gv = buf[self.g_base:self.g_base + self.nv * self.dmax]
-        return B, gv.reshape(self.nv, self.dmax), cost
+        d = self.dmax
+        cost = jnp.zeros((), cp.dtype)
+        h_rows, g_rows = [], []
+        for g in cp.groups:
+            r, jacs = cp.group_linearize(values, g, True)
+            cost = cost + 0.5 * jnp.sum(r * r)
+            dofs = [m.dof for m in g.manifolds]
+            for s in range(len(dofs)):
+                Js = jacs[s]
+                gr = jnp.einsum("kdi,kd->ki", Js, r,
+                                precision=jax.lax.Precision.HIGHEST)
+                g_rows.append(jnp.pad(gr, ((0, 0), (0, d - dofs[s]))))
+                for t in range(len(dofs)):
+                    Hb = jnp.einsum("kdi,kdj->kij", Js, jacs[t],
+                                    precision=jax.lax.Precision.HIGHEST)
+                    Hb = jnp.pad(Hb, ((0, 0), (0, d - dofs[s]),
+                                      (0, d - dofs[t])))
+                    h_rows.append(Hb.reshape(-1, d * d))
+        B = apply_plan(self._h_plan, jnp.concatenate(h_rows))
+        gv = apply_plan(self._g_plan, jnp.concatenate(g_rows))
+        return B.reshape(-1, d, d), gv, cost
 
     def _solve_once(self, B, bv, shift):
         """One elimination + back-substitution pass; ``shift`` is the total
@@ -455,16 +467,18 @@ class GeneralSparseCholesky:
             bv = bpad[:self.nv]
             stash.append((L, W, beta[..., 0]))
 
-        # dense core — element scatter from existing core slots only (an
-        # [R, R, d, d] block-table gather tile-pads 28x; see
-        # _build_base_plan)
+        # dense core — chunked block-row scatters (see _build_base_plan)
         R = self.R
         if R:
-            vals = B.reshape(-1, d * d)[self._core_slot_ids]  # [n_core, d*d]
-            A = jnp.zeros((R * d * R * d,), B.dtype).at[self._core_dest].set(
-                vals.reshape(-1)[self._core_perm],
-                indices_are_sorted=True, unique_indices=True)
-            A = A.reshape(R * d, R * d)
+            Bflat = B.reshape(-1, d * d)
+            A = jnp.zeros((R * d, R * d), B.dtype)
+            for i0, Rc, slot_ids, row_dest in self._core_chunks:
+                strip = jnp.zeros((Rc * R, d * d), B.dtype).at[row_dest].set(
+                    Bflat[slot_ids],
+                    indices_are_sorted=True, unique_indices=True)
+                strip = (strip.reshape(Rc, R, d, d)
+                         .transpose(0, 2, 1, 3).reshape(Rc * d, R * d))
+                A = jax.lax.dynamic_update_slice(A, strip, (i0 * d, 0))
             bb = bv[self._base_ids].reshape(-1)
             xb = cho_solve_auto(A, bb, mm=self._core_mm).reshape(R, d)
         x = jnp.zeros((self.nv + 1, d), dtype=B.dtype)
