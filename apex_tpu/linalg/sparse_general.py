@@ -499,22 +499,38 @@ class GeneralSparseCholesky:
 
     def solve_blocks(self, B, gv, damping=None, base_reg=1e-10, stages=5):
         """Solve (H + damping I) x = -g from assembled blocks, with the
-        5-stage escalating regularization retry. Returns x [total_dof]."""
+        5-stage escalating regularization retry. Returns x [total_dof].
+
+        In f32 the FIRST attempt carries a 1e-8 * mean-diag shift floor:
+        with auto damping's late-phase mu ~1e-11 * max diag, the
+        elimination's f32 roundoff leaves the gauge-deficient separator
+        core indefinite and the first factorization NaNs — measured on
+        the live chip at grid3D-12^3 the ladder then re-ran the FULL
+        elimination every LM iteration (67.5 ms/iter in the fused loop
+        vs ~20 ms for one pass; the CPU suite never trips this, its dot
+        roundoff profile differs). 1e-8 relative is an order below both
+        f32 Cholesky's own error floor and the late-phase auto damping,
+        so the trajectory is unchanged (parity tests still pass); the
+        NaN-gated ladder stays as the backstop, escalating from 1e-6."""
         dt = B.dtype
+        f32 = jnp.dtype(dt) == jnp.float32
         damp = jnp.asarray(0.0 if damping is None else damping, dt)
         bv = -gv
         diagB = B[self._diag_slots_all]
         trace_d = (jnp.sum(jnp.trace(diagB, axis1=-2, axis2=-1))
                    / max(self.cp.total_dof, 1) + damp)
+        floor = trace_d * 1e-8 if f32 else jnp.zeros((), dt)
 
         def attempt(shift):
             return self._solve_once(B, bv, shift)
 
-        x = attempt(damp)
+        x = attempt(damp + floor)
+
+        base0 = (1e-6 if f32 else base_reg)
 
         def body(carry):
             x, reg, stage = carry
-            reg = jnp.where(stage == 0, base_reg * trace_d, reg * 100.0)
+            reg = jnp.where(stage == 0, base0 * trace_d, reg * 100.0)
             return attempt(damp + reg), reg, stage + 1
 
         def cond(carry):
