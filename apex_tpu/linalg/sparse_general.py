@@ -501,17 +501,22 @@ class GeneralSparseCholesky:
         """Solve (H + damping I) x = -g from assembled blocks, with the
         5-stage escalating regularization retry. Returns x [total_dof].
 
-        In f32 the FIRST attempt carries a 1e-8 * mean-diag shift floor:
+        In f32 the FIRST attempt carries a 1e-7 * mean-diag shift floor:
         with auto damping's late-phase mu ~1e-11 * max diag, the
         elimination's f32 roundoff leaves the gauge-deficient separator
         core indefinite and the first factorization NaNs — measured on
-        the live chip at grid3D-12^3 the ladder then re-ran the FULL
-        elimination every LM iteration (67.5 ms/iter in the fused loop
-        vs ~20 ms for one pass; the CPU suite never trips this, its dot
-        roundoff profile differs). 1e-8 relative is an order below both
-        f32 Cholesky's own error floor and the late-phase auto damping,
-        so the trajectory is unchanged (parity tests still pass); the
-        NaN-gated ladder stays as the backstop, escalating from 1e-6."""
+        the live chip the ladder then re-ran the FULL elimination every
+        LM iteration (grid3D-12^3: 67.5 ms/iter in the fused loop vs
+        ~20 ms for one pass; grid3D-20^3: 677 vs 347 ms; the CPU suite
+        never trips this, its dot roundoff profile differs). The floor
+        must cover the factorization's roundoff growth at the LARGEST
+        qualifying cores: 1e-8 survives the 12^3 scale but still NaNs at
+        20^3 (measured: shift 1e-8*trace -> non-finite, 1e-7 -> finite),
+        so the floor is 1e-7 — f32 epsilon-level, at or below the
+        Cholesky error floor of these core sizes and well below typical
+        accepted-step damping, so the LM trajectory is unchanged (f32/f64
+        parity tests pin iteration counts and final costs); the NaN-gated
+        ladder stays as the backstop, escalating from 1e-6."""
         dt = B.dtype
         f32 = jnp.dtype(dt) == jnp.float32
         damp = jnp.asarray(0.0 if damping is None else damping, dt)
@@ -519,7 +524,7 @@ class GeneralSparseCholesky:
         diagB = B[self._diag_slots_all]
         trace_d = (jnp.sum(jnp.trace(diagB, axis1=-2, axis2=-1))
                    / max(self.cp.total_dof, 1) + damp)
-        floor = trace_d * 1e-8 if f32 else jnp.zeros((), dt)
+        floor = trace_d * 1e-7 if f32 else jnp.zeros((), dt)
 
         def attempt(shift):
             return self._solve_once(B, bv, shift)
