@@ -127,6 +127,13 @@ class LevenbergMarquardtConfig:
         )
 
 
+# Residual dimension above which solver executables are built with
+# constants hoisted to runtime arguments (utils/hoist.py) and solves run
+# in chunked dispatches: embedded index plans push venice-scale programs
+# past the remote compile tunnel's request limit (HTTP 413).
+HOIST_THRESHOLD = 200_000
+
+
 def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
@@ -443,7 +450,30 @@ class LevenbergMarquardt:
 
         key = id(cp)
         if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(self._make_step_fn(cp))
+            step = self._make_step_fn(cp)  # may set solver state helpers
+            # (e.g. DogLeg's _dl_empty_rep) that _init_damping_state needs
+            if cp.total_residual_dim >= HOIST_THRESHOLD:
+                damping = self._init_damping_state(cp, values)
+                # Same constant-hoisting as the jit path: the step closes
+                # over the problem's index plans and observation data,
+                # which embedded as literals push the serialized program
+                # past the remote compile tunnel's request limit
+                # (HTTP 413 at venice scale) — python mode was the one
+                # path still embedding them.
+                from ..utils.hoist import hoisted_jit
+
+                sd = jax.ShapeDtypeStruct
+                ex = (
+                    jax.tree.map(lambda a: sd(a.shape, a.dtype), values),
+                    jax.tree.map(lambda a: sd(jnp.shape(a),
+                                              jnp.result_type(a)), damping),
+                    sd((), cp.dtype), sd((), cp.dtype),
+                    sd((), jnp.int32),
+                    sd((cp.total_dof,), cp.dtype),
+                )
+                self._step_cache[key] = hoisted_jit(step, *ex)
+            else:
+                self._step_cache[key] = jax.jit(step)
         step_fn = self._step_cache[key]
         damping = self._init_damping_state(cp, values)
         nu = jnp.asarray(2.0, dtype=cp.dtype)
@@ -466,7 +496,8 @@ class LevenbergMarquardt:
         while True:
             it_start = time.perf_counter()
             values, damping, nu, cost, status_arr, jacobi_scale, metrics = step_fn(
-                values, damping, nu, cost, iteration, jacobi_scale
+                values, damping, nu, cost,
+                jnp.asarray(iteration, jnp.int32), jacobi_scale
             )
             jac_evals += 1
             cost_evals += 1
@@ -618,7 +649,7 @@ class LevenbergMarquardt:
             # serialized executable (venice: >200 MB of MLIR, which the
             # remote-TPU compile tunnel rejects outright with HTTP 413) and
             # defeat executable caching across problems of equal structure.
-            if cp.total_residual_dim >= 200_000:
+            if cp.total_residual_dim >= HOIST_THRESHOLD:
                 from ..utils.hoist import hoisted_jit
 
                 values_ex = jax.tree.map(
@@ -642,7 +673,7 @@ class LevenbergMarquardt:
         # bounded dispatches also give the host loop rollback points. Small
         # problems keep the single dispatch (8 chunked round trips through
         # the remote tunnel would dwarf a millisecond-scale solve).
-        large = cp.total_residual_dim >= 200_000
+        large = cp.total_residual_dim >= HOIST_THRESHOLD
         if cfg.timeout is None and not large:
             cost0, state = init_run(
                 cp.initial_values(),

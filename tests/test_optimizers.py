@@ -243,3 +243,36 @@ def test_normal_diag_max_matches_dense():
     np.testing.assert_allclose(
         float(cp.normal_diag_max(values)),
         float(jnp.max(jnp.diag(H))), rtol=1e-12)
+
+
+def test_python_mode_hoisted_step_matches_jit(monkeypatch):
+    """Above HOIST_THRESHOLD the python-mode step executable hoists its
+    closed-over problem constants to runtime arguments, exactly like the
+    jit path — venice-scale python-mode solves previously embedded them
+    and the remote compile tunnel rejected the program (HTTP 413). Pin
+    that the hoisted step runs and matches the jit-mode trajectory."""
+    import apex_tpu.optim.lm as lmmod
+    from apex_tpu.io import synthetic
+
+    monkeypatch.setattr(lmmod, "HOIST_THRESHOLD", 100)
+    g = synthetic.synthetic_pose_graph_2d(
+        n_poses=150, trajectory="manhattan", loop_stride=2, seed=0)
+    prob = g.to_problem()
+
+    def run(mode):
+        cfg = apx.LevenbergMarquardtConfig(
+            mode=mode, max_iterations=50, cost_tolerance=1e-4,
+            linear_solver_type="sparse_cholesky", damping="auto")
+        lm = apx.LevenbergMarquardt(cfg)
+        cp = prob.compile(dtype=np.float64)
+        res = lm.optimize(cp)
+        if mode == "python":
+            step = lm._step_cache[id(cp)]
+            assert getattr(step, "n_hoisted", 0) > 0, \
+                "step executable did not hoist its constants"
+        return res
+
+    rp, rj = run("python"), run("jit")
+    assert rp.converged and rj.converged
+    assert rp.iterations == rj.iterations
+    np.testing.assert_allclose(rp.final_cost, rj.final_cost, rtol=1e-10)
