@@ -446,7 +446,14 @@ class LevenbergMarquardt:
             values = tuple(jnp.asarray(v, dtype=cp.dtype) for v in checkpoint.values)
         else:
             values = cp.initial_values()
-        initial_cost = float(jax.jit(cp.cost)(values))
+        # cache the jitted cost: `jax.jit(cp.cost)` builds a FRESH wrapper
+        # per call, so repeat python-mode solves re-traced and re-compiled
+        # the cost program every time (~10 min at venice scale through the
+        # remote compile tunnel)
+        cost_key = ("cost", id(cp))
+        if cost_key not in self._step_cache:
+            self._step_cache[cost_key] = jax.jit(cp.cost)
+        initial_cost = float(self._step_cache[cost_key](values))
 
         key = id(cp)
         if key not in self._step_cache:

@@ -404,22 +404,27 @@ def main():
 
     # (name, fn, estimated seconds on healthy hardware — heavy rungs are
     # skipped when the remaining APEX_BENCH_DEADLINE budget is below the
-    # estimate, so a degraded TPU tunnel can't hang the whole bench)
-    # North-star venice runs BEFORE the capability rungs so a tight
-    # budget skips those, never the headline (round-2 lesson: venice was
-    # the one rung the deadline cut).
+    # estimate, so a degraded TPU tunnel can't hang the whole bench).
+    # Order: the cheap pose/capability rungs run FIRST, then the heavy BA
+    # rungs — a slow-compile backend day (round-5 measured a 29-minute
+    # venice cold compile where round 4 took ~6) can overrun venice's
+    # estimate and must not starve eight already-affordable rungs behind
+    # it. Venice's estimate includes such a compile; with the cheap rungs
+    # totalling ~900 s it still always runs inside the default 3000 s
+    # budget (round-2 lesson kept: venice is never the rung the deadline
+    # cuts — only ladybug/pose50k yield when venice overruns).
     ladder = [
         ("sphere2500", lambda: bench_sphere2500(dtype, runs), 60),
         ("m3500", lambda: bench_m3500(dtype, runs), 30),
         ("ba", lambda: bench_ba_trafalgar(dtype, max(1, runs - 2)), 150),
         ("dubrovnik", lambda: bench_ba_dubrovnik(dtype, max(1, runs - 2)), 200),
-        ("venice", lambda: bench_ba_venice(dtype), 700),
-        ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
         ("torus3d", lambda: bench_torus3d(dtype, runs), 90),
         ("cubicle", lambda: bench_cubicle(dtype, runs), 90),
         ("parking", lambda: bench_parking_garage(dtype, runs), 60),
-        ("pose50k", lambda: bench_50k(dtype), 330),
         ("grid3d", lambda: bench_grid3d(dtype), 180),
+        ("venice", lambda: bench_ba_venice(dtype), 900),
+        ("ladybug", lambda: bench_ba_ladybug(dtype), 400),
+        ("pose50k", lambda: bench_50k(dtype), 330),
     ]
     results = []
     for name, fn, est in ladder:

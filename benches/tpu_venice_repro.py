@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--sweep-iters", type=int, default=11)
     ap.add_argument("--skip-sweep", action="store_true")
+    ap.add_argument("--skip-gate", action="store_true",
+                    help="run only the per-iteration sweep (the gate rung's "
+                         "jit-mode executable costs a ~29 min cold compile)")
     args = ap.parse_args()
 
     import numpy as np
@@ -50,6 +53,9 @@ def main():
           flush=True)
 
     # 1. gate-rung repeats (identical config to bench.py's venice rung)
+    if args.skip_gate:
+        _sweep(args, ds, cp)
+        return
     target_cost = (0.46 ** 2) * ds.num_observations
     cfg = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit",
@@ -77,8 +83,14 @@ def main():
 
     if args.skip_sweep:
         return
+    _sweep(args, ds, cp)
 
-    # 2. fixed-iteration sweep with per-iteration milestones
+
+def _sweep(args, ds, cp):
+    """Fixed-iteration sweep with per-iteration milestones."""
+    import apex_tpu as apx
+    from apex_tpu.ba import rmse
+
     cfg2 = apx.LevenbergMarquardtConfig(
         linear_solver_type="schur_implicit",
         schur_preconditioner="schur_jacobi",
